@@ -1,0 +1,124 @@
+"""Algorithm configuration.
+
+One flag namespace with the reference's knob names so its scene scripts
+translate 1:1 (reference: algorithmparameters.h:19-89, main.cpp:708-1009,
+scripts/courtyard.sh:10-25).
+
+All fields that feed jitted kernels are static Python scalars — changing
+them retriggers compilation, matching the reference's compile-time
+constants (gipuma.cu:34-39, main.cpp:59-64).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class AlgorithmParams:
+    """Mirror of AlgorithmParameters (algorithmparameters.h:19-89).
+
+    Defaults follow the reference's constructor; the scene scripts override
+    `box_hsize/box_vsize=11, iterations=8, gamma=10, cost_comb='best_n',
+    n_best=1` (scripts/courtyard.sh:11-15).
+    """
+
+    # PatchMatch window (reference: box_hsize/box_vsize, default 19,
+    # scripts use 11).
+    box_hsize: int = 11
+    box_vsize: int = 11
+    # Window subsampling stride (reference: WIN_INCREMENT, gipuma.cu:37).
+    win_increment: int = 2
+    # PatchMatch iterations (red/black × prop+refine per iteration).
+    iterations: int = 8
+    # Bilateral NCC parameters (reference: pmCost, gipuma.cu:248-250).
+    sigma_spatial: float = 5.0
+    sigma_color: float = 3.0
+    cost_max: float = 2.0
+    min_var: float = 1e-5
+    # Multi-view aggregation: mean of best n_best per-view costs
+    # (reference: pmCostMultiview_cu, gipuma.cu:492-505).
+    n_best: int = 1
+    # Weight-function gamma (reference: gamma, used by hasImageTexture).
+    gamma: float = 10.0
+    # Valid-cost ceiling for a single view (reference: MAXCOST).
+    max_cost: float = 1e4
+    # Depth range; loaded from cams/xxxx_cam.txt view 0
+    # (fileIoUtils.h:145-153); disparities derived via f*baseline/depth.
+    depth_min: float = -1.0
+    depth_max: float = -1.0
+    min_disparity: float = 0.0
+    max_disparity: float = 256.0
+    # Number of source views used for matching (reference: max_views=14).
+    max_views: int = 14
+    # Plane-refinement schedule (reference: planeRefinement_cu,
+    # gipuma.cu:634-675): disparity radius max_disparity/2 shrinking /10
+    # down to 0.01, normal radius 1.0 shrinking /4.
+    refine_delta_z_shrink: float = 10.0
+    refine_delta_n_init: float = 1.0
+    refine_delta_n_shrink: float = 4.0
+    refine_delta_z_min: float = 0.01
+    # Image rescale factor applied to K (reference: cam_scale).
+    cam_scale: float = 1.0
+    # View-selection angles for the legacy angle-based path
+    # (reference: selectViews, main.cpp:1011-1096).
+    min_angle: float = 5.0
+    max_angle: float = 45.0
+    # Weak-texture detector constants (reference: main.cpp:59-64).
+    rob_thr: int = 4
+    hough_thr: int = 110
+    min_line_length: int = 160
+    max_line_gap: int = 18
+    weak_text_num: int = 5000
+    size_rat: float = 2.5
+    # Region RANSAC (reference: main.cpp:1519-1730).
+    ransac_iters: int = 10000
+    ransac_anneal_rounds: int = 1000
+    ransac_max_points: int = 50000
+    # SLIC (reference: main.cpp:609-615).
+    slic_num_segs: int = 4256
+    slic_spixel_size: int = 20
+    slic_coh_weight: float = 5.0
+    slic_iters: int = 5
+    # WMF schedules (reference: gipuma_WMF / gipuma_WMF_Final,
+    # gipuma.cu:1294-1698).
+    wmf_iters: int = 4
+    wmf_final_iters: int = 6
+    wmf_sigma_spatial: float = 2.0
+    wmf_sigma_color: float = 3.0
+    # Confidence / LR check.
+    lr_diff_clamp: float = 1.0
+
+    @property
+    def hrad(self) -> int:
+        return (self.box_hsize - 1) // 2
+
+    @property
+    def vrad(self) -> int:
+        return (self.box_vsize - 1) // 2
+
+    def with_depth_range(self, depth_min: float, depth_max: float,
+                         f: float, baseline: float = 1.0) -> "AlgorithmParams":
+        """Set depth range and derive the disparity range.
+
+        Mirrors main.cpp:1388-1399: min_disparity corresponds to depth_max
+        and vice versa via disp = f*baseline/depth.
+        """
+        return dataclasses.replace(
+            self,
+            depth_min=float(depth_min),
+            depth_max=float(depth_max),
+            min_disparity=float(f) * baseline / float(depth_max),
+            max_disparity=float(f) * baseline / float(depth_min),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class FusionParams:
+    """Fusibile-style fusion operating point (reference: x/1.sh:19-30)."""
+
+    depth_diff: float = 0.01
+    normal_thresh_deg: float = 15.0
+    num_consistent: int = 1
+    reproj_error: float = 2.0
+    used_list: bool = True

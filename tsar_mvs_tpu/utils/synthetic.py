@@ -1,0 +1,322 @@
+"""Synthetic multi-view scenes with exact ground truth.
+
+The reference repo ships no image data (its de-facto test suite is 13
+ETH3D scenes run by shell scripts, SURVEY.md §4); we instead generate
+view-consistent synthetic scenes — textured 3-D rectangles rendered by
+ray casting with a procedural world-space texture — so unit/regression
+tests and benchmarks have exact depth/normal ground truth.
+
+Cameras are generated on an arc and exported in the same Middlebury/MVSNet
+`cams/xxxxxxxx_cam.txt` + `pair.txt` contract the reference consumes
+(fileIoUtils.h:111-163, main.cpp:1345-1384).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+
+import numpy as np
+
+from tsar_mvs_tpu.utils.scene_io import (CamFile, PairFile, write_cam_file,
+                                         write_pair_file)
+
+
+@dataclass
+class Rect3D:
+    """A textured 3-D rectangle: origin + two edge vectors."""
+    origin: np.ndarray   # (3,)
+    eu: np.ndarray       # (3,) edge 1
+    ev: np.ndarray       # (3,) edge 2
+    textured: bool = True
+    albedo: float = 0.5
+
+    @property
+    def normal(self) -> np.ndarray:
+        n = np.cross(self.eu, self.ev)
+        return n / np.linalg.norm(n)
+
+
+def value_noise(X: np.ndarray, seed: int = 0, octaves: int = 4,
+                base_freq: float = 2.0) -> np.ndarray:
+    """Deterministic multi-octave value noise over 3-D points X (..., 3),
+    in [0, 1]. Hash-based — view-consistent by construction."""
+    out = np.zeros(X.shape[:-1])
+    amp_total = 0.0
+    for o in range(octaves):
+        freq = base_freq * (2.0 ** o)
+        amp = 0.5 ** o
+        P = X * freq
+        P0 = np.floor(P).astype(np.int64)
+        f = P - P0
+        f = f * f * (3 - 2 * f)  # smoothstep
+        acc = np.zeros(X.shape[:-1])
+        for dx in (0, 1):
+            for dy in (0, 1):
+                for dz in (0, 1):
+                    corner = P0 + np.array([dx, dy, dz])
+                    h = _hash3(corner, seed + o * 101)
+                    w = (np.where(dx, f[..., 0], 1 - f[..., 0])
+                         * np.where(dy, f[..., 1], 1 - f[..., 1])
+                         * np.where(dz, f[..., 2], 1 - f[..., 2]))
+                    acc += w * h
+        out += amp * acc
+        amp_total += amp
+    return out / amp_total
+
+
+def _hash3(p: np.ndarray, seed: int) -> np.ndarray:
+    """Integer lattice hash -> uniform [0, 1]."""
+    x = (p[..., 0] * 374761393 + p[..., 1] * 668265263
+         + p[..., 2] * 2147483647 + seed * 144665) & 0xFFFFFFFF
+    x = (x ^ (x >> 13)) * 1274126177 & 0xFFFFFFFF
+    x = x ^ (x >> 16)
+    return (x & 0xFFFFFF) / float(0xFFFFFF)
+
+
+@dataclass
+class SyntheticScene:
+    images: np.ndarray       # (V, H, W) float32 in [0, 255]
+    P: np.ndarray            # (V, 3, 4) projection matrices (world frame)
+    K: np.ndarray            # (3, 3)
+    R: np.ndarray            # (V, 3, 3)
+    t: np.ndarray            # (V, 3)
+    depth: np.ndarray        # (V, H, W) GT depth (camera z), inf = miss
+    normal_cam: np.ndarray   # (V, H, W, 3) GT normals in each view's frame
+    normal_world: np.ndarray  # (V, H, W, 3)
+    weak_mask: np.ndarray    # (V, H, W) bool: pixel lies on textureless rect
+    depth_min: float = 0.0
+    depth_max: float = 0.0
+
+    @property
+    def num_views(self) -> int:
+        return self.images.shape[0]
+
+    def export(self, root: str | Path, pair_top_k: int = 10) -> Path:
+        """Write the scene in the reference's on-disk contract:
+        images/0000000v.png (plus .pfm fallback), cams/0000000v_cam.txt,
+        pair.txt (ranked by camera-center proximity)."""
+        root = Path(root)
+        (root / "images").mkdir(parents=True, exist_ok=True)
+        (root / "cams").mkdir(parents=True, exist_ok=True)
+        from tsar_mvs_tpu.utils.pfm import write_pfm
+        centers = np.stack([-self.R[i].T @ self.t[i]
+                            for i in range(self.num_views)])
+        pair = PairFile()
+        for i in range(self.num_views):
+            name = f"{i:08d}"
+            write_pfm(root / "images" / f"{name}.pfm", self.images[i])
+            _write_png_gray(root / "images" / f"{name}.png", self.images[i])
+            write_cam_file(root / "cams" / f"{name}_cam.txt", CamFile(
+                R=self.R[i], t=self.t[i], K=self.K,
+                depth_min=self.depth_min,
+                depth_interval=(self.depth_max - self.depth_min) / 192,
+                depth_num=192, depth_max=self.depth_max))
+            dist = np.linalg.norm(centers - centers[i], axis=1)
+            order = [int(j) for j in np.argsort(dist) if j != i]
+            pair.neighbors[i] = [(j, float(1.0 / (1e-6 + dist[j])))
+                                 for j in order[:pair_top_k]]
+        write_pair_file(root / "pair.txt", pair)
+        return root
+
+
+def _write_png_gray(path: Path, img: np.ndarray) -> None:
+    """Minimal 8-bit grayscale PNG writer (no external deps)."""
+    import struct
+    import zlib
+    arr = np.clip(img, 0, 255).astype(np.uint8)
+    h, w = arr.shape
+    raw = b"".join(b"\x00" + arr[i].tobytes() for i in range(h))
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload)))
+
+    header = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", header)
+           + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+    path.write_bytes(png)
+
+
+def read_png_gray(path: str | Path) -> np.ndarray:
+    """Minimal grayscale PNG reader for files written by _write_png_gray."""
+    import struct
+    import zlib
+    data = Path(path).read_bytes()
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos, w, h, idat = 8, 0, 0, b""
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type = struct.unpack_from(">IIBB", payload)
+            assert bit_depth == 8 and color_type == 0, "only 8-bit gray"
+        elif tag == b"IDAT":
+            idat += payload
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    stride = w + 1
+    rows = []
+    prev = np.zeros(w, np.int64)
+    for i in range(h):
+        filt = raw[i * stride]
+        line = np.frombuffer(raw[i * stride + 1:(i + 1) * stride],
+                             np.uint8).astype(np.int64)
+        if filt == 0:
+            row = line
+        elif filt == 2:  # up
+            row = (line + prev) % 256
+        elif filt == 1:  # sub
+            row = np.cumsum(line) % 256  # only valid per-pixel; do loop
+            row = _png_defilter_sub(line)
+        else:
+            row = _png_defilter_general(filt, line, prev)
+        rows.append(row)
+        prev = row
+    return np.stack(rows).astype(np.float32)
+
+
+def _png_defilter_sub(line: np.ndarray) -> np.ndarray:
+    out = np.zeros_like(line)
+    acc = 0
+    for i, v in enumerate(line):
+        acc = (acc + v) % 256
+        out[i] = acc
+    return out
+
+
+def _png_defilter_general(filt: int, line: np.ndarray,
+                          prev: np.ndarray) -> np.ndarray:
+    out = np.zeros_like(line)
+    a = 0
+    c = 0
+    for i, v in enumerate(line):
+        b = prev[i]
+        if filt == 3:
+            pred = (a + b) // 2
+        else:  # paeth
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out[i] = (v + pred) % 256
+        a = out[i]
+        c = b
+    return out
+
+
+def look_at(C: np.ndarray, target: np.ndarray,
+            up=np.array([0.0, -1.0, 0.0])) -> tuple[np.ndarray, np.ndarray]:
+    """World->camera rotation R and translation t = -R C for a camera at C
+    looking at `target` (z forward, y down — image convention)."""
+    z = target - C
+    z = z / np.linalg.norm(z)
+    x = np.cross(-up, z)
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    R = np.stack([x, y, z])
+    return R, -R @ C
+
+
+def make_scene(height: int = 96, width: int = 128, num_views: int = 5,
+               seed: int = 0, weak_fraction: float = 0.25,
+               arc_radius: float = 4.0, arc_span_deg: float = 40.0,
+               noise_sigma: float = 0.0) -> SyntheticScene:
+    """Build a fronto-ish scene: a large slanted background plane, a tilted
+    foreground rectangle, and a textureless rectangle covering roughly
+    `weak_fraction` of the image (exercises the TSAR weak-region path)."""
+    rng = np.random.default_rng(seed)
+    f = 1.2 * width
+    K = np.array([[f, 0, width / 2.0],
+                  [0, f, height / 2.0],
+                  [0, 0, 1.0]])
+
+    rects = [
+        # Background: big plane at z≈6, slightly tilted.
+        Rect3D(origin=np.array([-8.0, -6.0, 6.5]),
+               eu=np.array([16.0, 0.0, 1.2]),
+               ev=np.array([0.0, 12.0, -0.8]), textured=True),
+        # Foreground tilted rectangle.
+        Rect3D(origin=np.array([-1.6, -1.4, 4.2]),
+               eu=np.array([1.8, 0.0, 0.7]),
+               ev=np.array([0.0, 1.6, -0.3]), textured=True),
+        # Textureless rectangle (constant albedo).
+        Rect3D(origin=np.array([0.2, -0.2, 4.8]),
+               eu=np.array([2.2 * weak_fraction * 4, 0.0, 0.35]),
+               ev=np.array([0.0, 1.8 * weak_fraction * 4, 0.2]),
+               textured=False, albedo=0.62),
+    ]
+
+    target = np.array([0.0, 0.0, 5.0])
+    angles = np.linspace(-np.deg2rad(arc_span_deg / 2),
+                         np.deg2rad(arc_span_deg / 2), num_views)
+    Rs, ts, Ps = [], [], []
+    for a in angles:
+        C = np.array([arc_radius * np.sin(a), 0.35 * np.sin(2 * a),
+                      5.0 - arc_radius * np.cos(a)])
+        R, t = look_at(C, target)
+        Rs.append(R)
+        ts.append(t)
+        Ps.append(K @ np.concatenate([R, t[:, None]], axis=1))
+
+    V = num_views
+    images = np.zeros((V, height, width), np.float32)
+    depth = np.full((V, height, width), np.inf, np.float32)
+    normal_world = np.zeros((V, height, width, 3), np.float32)
+    weak_mask = np.zeros((V, height, width), bool)
+
+    xx, yy = np.meshgrid(np.arange(width) + 0.0, np.arange(height) + 0.0)
+    pix = np.stack([xx, yy, np.ones_like(xx)], axis=-1)
+    K_inv = np.linalg.inv(K)
+
+    for v in range(V):
+        R, t = Rs[v], ts[v]
+        C = -R.T @ t
+        dirs = np.einsum("ij,hwj->hwi", R.T @ K_inv, pix)  # ray dirs, world
+        best_s = np.full((height, width), np.inf)
+        tex_val = np.zeros((height, width))
+        hit_n = np.zeros((height, width, 3))
+        hit_weak = np.zeros((height, width), bool)
+        for rect in rects:
+            n = rect.normal
+            denom = dirs @ n
+            s = ((rect.origin - C) @ n) / np.where(np.abs(denom) < 1e-12,
+                                                   np.nan, denom)
+            X = C + s[..., None] * dirs
+            rel = X - rect.origin
+            u = rel @ rect.eu / (rect.eu @ rect.eu)
+            w_ = rel @ rect.ev / (rect.ev @ rect.ev)
+            valid = (np.isfinite(s) & (s > 0) & (u >= 0) & (u <= 1)
+                     & (w_ >= 0) & (w_ <= 1) & (s < best_s))
+            if rect.textured:
+                val = 0.15 + 0.7 * value_noise(X, seed=seed)
+            else:
+                val = np.full(s.shape, rect.albedo)
+            best_s = np.where(valid, s, best_s)
+            tex_val = np.where(valid, val, tex_val)
+            hit_n = np.where(valid[..., None], n, hit_n)
+            hit_weak = np.where(valid, not rect.textured, hit_weak)
+        # Camera-frame depth = z component of R X + t.
+        X = C + best_s[..., None] * dirs
+        z = (np.einsum("ij,hwj->hwi", R, X) + t)[..., 2]
+        img = np.clip(tex_val * 255.0, 0, 255)
+        if noise_sigma > 0:
+            img = np.clip(img + rng.normal(0, noise_sigma, img.shape), 0, 255)
+        images[v] = img
+        depth[v] = np.where(np.isfinite(best_s), z, np.inf)
+        normal_world[v] = hit_n
+        weak_mask[v] = hit_weak
+
+    # Camera-frame normals, oriented toward the camera.
+    normal_cam = np.einsum("vij,vhwj->vhwi", np.stack(Rs), normal_world)
+    flip = (normal_cam[..., 2:3] > 0)
+    normal_cam = np.where(flip, -normal_cam, normal_cam)
+
+    finite = depth[np.isfinite(depth)]
+    dmin, dmax = float(finite.min()), float(finite.max())
+    margin = 0.15 * (dmax - dmin)
+    return SyntheticScene(
+        images=images, P=np.stack(Ps), K=K, R=np.stack(Rs), t=np.stack(ts),
+        depth=depth, normal_cam=normal_cam.astype(np.float32),
+        normal_world=normal_world.astype(np.float32), weak_mask=weak_mask,
+        depth_min=max(1e-3, dmin - margin), depth_max=dmax + margin)
