@@ -1,0 +1,300 @@
+"""Bilaterally-weighted NCC matching cost over plane-induced homographies.
+
+TPU-native reformulation of the reference's hot kernel (pmCost / rlCost /
+pmCostMultiview_cu, gipuma.cu:229-518):
+
+* Everything that depends only on the reference image — window intensity
+  shifts, bilateral weights, the ref-side NCC moments — is hoisted out of
+  the per-candidate/per-view evaluation and computed once per image with
+  static-stencil shifts (no gathers).
+* The plane-induced warp is evaluated in factored form
+  q = A p~ - b (n·ray)/d with the window offset folded in linearly and
+  exactly: ray(p + o) = ray(p) + i k0 + j k1 and A(p~ + o) = A p~ + i a0
+  + j a1, so each window sample costs a handful of FMAs plus one bilinear
+  gather of the source image.
+* The multi-view best-n aggregation (sort_small + mean of best n,
+  gipuma.cu:425-434,492-505) becomes a sort over the small static view
+  axis.
+
+Cost definition (identical to the reference): for window W(p),
+bilateral weights w_o = exp(-|o|/(2 s_spatial^2) - |I(p+o)-I(p)|/
+(2 s_color^2)), cost = clamp(1 - NCC_w(ref, src∘warp), 0, 2), with
+cost = 2 where either windowed variance < 1e-5.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from tsar_mvs_tpu.config import AlgorithmParams
+from tsar_mvs_tpu.geometry import CameraSet, matvec3, pixel_rays
+from tsar_mvs_tpu.ops.sampling import bilinear_sample, shift_with_edge_clamp
+
+MAXCOST = 2.0  # reference: config.h:22
+
+
+def window_offsets(params: AlgorithmParams) -> list[tuple[int, int]]:
+    """(i, j) window offsets: i in [-hrad, hrad] step win_increment
+    (gipuma.cu:259-260). i is the x offset, j the y offset."""
+    return [(i, j)
+            for i in range(-params.hrad, params.hrad + 1, params.win_increment)
+            for j in range(-params.vrad, params.vrad + 1,
+                           params.win_increment)]
+
+
+class RefStats(NamedTuple):
+    """Per-reference-image NCC precomputation, shared by every candidate
+    plane and every source view.
+
+    Intensities are stored *centered on the window's center pixel*
+    (ref_c = I(p+o) - I(p)): NCC is invariant to the shift, and centering
+    removes the float32 catastrophic cancellation in E[x^2] - E[x]^2 that
+    the reference's raw accumulation suffers on low-contrast windows —
+    flat patches now yield exactly var = 0 and trip the min_var guard
+    deterministically (gipuma.cu:286-291 semantics, better conditioned).
+    """
+
+    center: jnp.ndarray        # (H, W) I(p) — the centering constant
+    ref_centered: jnp.ndarray  # (O, H, W) I(p+o) - I(p), edge-clamped
+    weights: jnp.ndarray       # (O, H, W) bilateral weights
+    inv_wsum: jnp.ndarray      # (H, W) 1/sum_o w_o
+    mean_ref: jnp.ndarray      # (H, W) weighted mean of ref window
+    var_ref: jnp.ndarray       # (H, W) weighted variance of ref window
+    rays: jnp.ndarray          # (H, W, 3) K^-1 p~
+    k0: jnp.ndarray            # (3,) K^-1 column 0  (d ray / dx)
+    k1: jnp.ndarray            # (3,) K^-1 column 1  (d ray / dy)
+
+
+def precompute_ref_stats(ref_img: jnp.ndarray, cams: CameraSet,
+                         params: AlgorithmParams) -> RefStats:
+    H, W = ref_img.shape
+    offsets = window_offsets(params)
+    inv_2ss = 1.0 / (2.0 * params.sigma_spatial * params.sigma_spatial)
+    inv_2sc = 1.0 / (2.0 * params.sigma_color * params.sigma_color)
+
+    shifted = []
+    weights = []
+    for (i, j) in offsets:
+        ref_c = shift_with_edge_clamp(ref_img, j, i) - ref_img
+        spatial = float(jnp.sqrt(float(i * i + j * j)))
+        w = jnp.exp(-spatial * inv_2ss - jnp.abs(ref_c) * inv_2sc)
+        shifted.append(ref_c)
+        weights.append(w)
+    ref_centered = jnp.stack(shifted)
+    wts = jnp.stack(weights)
+
+    wsum = jnp.sum(wts, axis=0)
+    inv_wsum = 1.0 / wsum
+    mean_ref = jnp.sum(wts * ref_centered, axis=0) * inv_wsum
+    mean_ref_ref = jnp.sum(wts * ref_centered * ref_centered,
+                           axis=0) * inv_wsum
+    var_ref = mean_ref_ref - mean_ref * mean_ref
+
+    rays = pixel_rays(cams, H, W)
+    return RefStats(center=ref_img, ref_centered=ref_centered, weights=wts,
+                    inv_wsum=inv_wsum,
+                    mean_ref=mean_ref, var_ref=var_ref, rays=rays,
+                    k0=cams.K_inv[0][:, 0], k1=cams.K_inv[0][:, 1])
+
+
+def pm_cost_view(src_img: jnp.ndarray, cams: CameraSet, view: int,
+                 normal: jnp.ndarray, d: jnp.ndarray, stats: RefStats,
+                 params: AlgorithmParams) -> jnp.ndarray:
+    """NCC cost of plane field (normal, d) against one source view.
+
+    normal: (..., H, W, 3); d: (..., H, W). Returns (..., H, W).
+    Faithful to pmCost (gipuma.cu:229-298) with the warp factored.
+    """
+    H, W = src_img.shape
+    offsets = window_offsets(params)
+
+    xx = jnp.arange(W, dtype=jnp.float32)[None, :]
+    yy = jnp.arange(H, dtype=jnp.float32)[:, None]
+    A = cams.A[view]
+    b = cams.b[view]
+    # A p~ per pixel (candidate-independent): 3 planes of (H, W).
+    Ap = [A[r, 0] * xx + A[r, 1] * yy + A[r, 2] for r in range(3)]
+
+    ndotray = jnp.sum(normal * stats.rays, axis=-1)          # (..., H, W)
+    nk0 = (normal[..., 0] * stats.k0[0] + normal[..., 1] * stats.k0[1]
+           + normal[..., 2] * stats.k0[2])
+    nk1 = (normal[..., 0] * stats.k1[0] + normal[..., 1] * stats.k1[1]
+           + normal[..., 2] * stats.k1[2])
+    inv_d = 1.0 / d
+    s0 = ndotray * inv_d
+    sx = nk0 * inv_d
+    sy = nk1 * inv_d
+
+    sum_src = 0.0
+    sum_src_src = 0.0
+    sum_ref_src = 0.0
+    for o_idx, (i, j) in enumerate(offsets):
+        s = s0 + i * sx + j * sy
+        qx = (Ap[0] + (i * A[0, 0] + j * A[0, 1])) - b[0] * s
+        qy = (Ap[1] + (i * A[1, 0] + j * A[1, 1])) - b[1] * s
+        qz = (Ap[2] + (i * A[2, 0] + j * A[2, 1])) - b[2] * s
+        inv_qz = 1.0 / qz
+        src = bilinear_sample(src_img, qx * inv_qz, qy * inv_qz) - stats.center
+        w = stats.weights[o_idx]
+        ref_c = stats.ref_centered[o_idx]
+        ws = w * src
+        sum_src = sum_src + ws
+        sum_src_src = sum_src_src + ws * src
+        sum_ref_src = sum_ref_src + ws * ref_c
+
+    mean_src = sum_src * stats.inv_wsum
+    mean_src_src = sum_src_src * stats.inv_wsum
+    mean_ref_src = sum_ref_src * stats.inv_wsum
+    var_src = mean_src_src - mean_src * mean_src
+    covar = mean_ref_src - stats.mean_ref * mean_src
+
+    ncc_cost = 1.0 - covar * jax.lax.rsqrt(
+        jnp.maximum(stats.var_ref * var_src, 1e-30))
+    cost = jnp.clip(ncc_cost, 0.0, params.cost_max)
+    low_var = ((stats.var_ref < params.min_var)
+               | (var_src < params.min_var))
+    return jnp.where(low_var, params.cost_max, cost)
+
+
+class MultiviewCost(NamedTuple):
+    cost: jnp.ndarray       # (..., H, W) aggregated best-n mean
+    best_view: jnp.ndarray  # (..., H, W) int32 view id of min cost (-1 none)
+    ratio: jnp.ndarray      # (..., H, W) best/second-best cost ratio
+
+
+def multiview_cost(src_imgs: jnp.ndarray, view_ids: Sequence[int],
+                   cams: CameraSet, normal: jnp.ndarray, d: jnp.ndarray,
+                   stats: RefStats, params: AlgorithmParams) -> MultiviewCost:
+    """Aggregate per-view NCC costs (pmCostMultiview_cu, gipuma.cu:455-518).
+
+    src_imgs: (V_total, H, W) all images (index 0 = reference);
+    view_ids: static tuple of source-view indices (the view-selection
+    subset). Cost = mean of the best min(n_best, #valid) per-view costs;
+    a view is valid when its cost < MAXCOST.
+    """
+    costs = jnp.stack([
+        pm_cost_view(src_imgs[v], cams, v, normal, d, stats, params)
+        for v in view_ids], axis=0)                      # (V, ..., H, W)
+    V = len(view_ids)
+
+    sorted_costs = jnp.sort(costs, axis=0)
+    num_valid = jnp.sum((costs < MAXCOST).astype(jnp.int32), axis=0)
+    num_best = jnp.minimum(num_valid, params.n_best)
+
+    k = jnp.arange(V).reshape((V,) + (1,) * (costs.ndim - 1))
+    take = (k < num_best[None]).astype(costs.dtype)
+    best_sum = jnp.sum(sorted_costs * take, axis=0)
+    cost = jnp.where(num_best > 0, best_sum / jnp.maximum(num_best, 1),
+                     MAXCOST)
+
+    second = sorted_costs[1] if V > 1 else sorted_costs[0]
+    ratio = jnp.where(num_best > 0, sorted_costs[0] / second, 0.0)
+
+    argmin = jnp.argmin(costs, axis=0)
+    ids = jnp.asarray(list(view_ids), jnp.int32)
+    best_view = jnp.where(num_best > 0, ids[argmin], -1)
+    return MultiviewCost(cost=cost, best_view=best_view, ratio=ratio)
+
+
+def rl_cost_view(ref_img: jnp.ndarray, src_imgs: jnp.ndarray,
+                 best_view: jnp.ndarray, view_ids: Sequence[int],
+                 cams: CameraSet, normal: jnp.ndarray, d: jnp.ndarray,
+                 stats: RefStats, params: AlgorithmParams) -> jnp.ndarray:
+    """Reverse (source-to-reference) NCC cost at each pixel's best view
+    (rlCost, gipuma.cu:300-392): the window is taken around the warped
+    center in the *source* image and mapped back through H^-1.
+
+    best_view: (H, W) int32 of per-pixel best view ids. Evaluates the
+    reverse cost against every selected view and picks each pixel's via
+    masking (dense TPU-style select instead of data-dependent dispatch).
+    """
+    out = jnp.zeros_like(d)
+    for v in view_ids:
+        c_v = _rl_cost_single(ref_img, src_imgs[v], cams, v, normal, d,
+                              stats, params)
+        out = jnp.where(best_view == v, c_v, out)
+    return out
+
+
+def _rl_cost_single(ref_img: jnp.ndarray, src_img: jnp.ndarray,
+                    cams: CameraSet, view: int, normal: jnp.ndarray,
+                    d: jnp.ndarray, stats: RefStats,
+                    params: AlgorithmParams) -> jnp.ndarray:
+    H, W = ref_img.shape
+    offsets = window_offsets(params)
+    inv_2ss = 1.0 / (2.0 * params.sigma_spatial * params.sigma_spatial)
+    inv_2sc = 1.0 / (2.0 * params.sigma_color * params.sigma_color)
+
+    # Explicit per-pixel homography H = A - b (K^-T n)^T / d and its
+    # inverse via adjugate (the reference inverts H in-kernel,
+    # gipuma.cu:316-337).
+    A = cams.A[view]
+    b = cams.b[view]
+    Kinv = cams.K_inv[0]
+    # m = K^-T n  (3 components, per pixel)
+    m0 = (Kinv[0, 0] * normal[..., 0] + Kinv[1, 0] * normal[..., 1]
+          + Kinv[2, 0] * normal[..., 2])
+    m1 = (Kinv[0, 1] * normal[..., 0] + Kinv[1, 1] * normal[..., 1]
+          + Kinv[2, 1] * normal[..., 2])
+    m2 = (Kinv[0, 2] * normal[..., 0] + Kinv[1, 2] * normal[..., 1]
+          + Kinv[2, 2] * normal[..., 2])
+    inv_d = 1.0 / d
+    Hm = [[A[r, 0] - b[r] * m0 * inv_d,
+           A[r, 1] - b[r] * m1 * inv_d,
+           A[r, 2] - b[r] * m2 * inv_d] for r in range(3)]
+
+    # Adjugate / determinant inverse.
+    c00 = Hm[1][1] * Hm[2][2] - Hm[1][2] * Hm[2][1]
+    c01 = Hm[1][2] * Hm[2][0] - Hm[1][0] * Hm[2][2]
+    c02 = Hm[1][0] * Hm[2][1] - Hm[1][1] * Hm[2][0]
+    det = Hm[0][0] * c00 + Hm[0][1] * c01 + Hm[0][2] * c02
+    inv_det = 1.0 / det
+    Vm = [[c00 * inv_det,
+           (Hm[0][2] * Hm[2][1] - Hm[0][1] * Hm[2][2]) * inv_det,
+           (Hm[0][1] * Hm[1][2] - Hm[0][2] * Hm[1][1]) * inv_det],
+          [c01 * inv_det,
+           (Hm[0][0] * Hm[2][2] - Hm[0][2] * Hm[2][0]) * inv_det,
+           (Hm[0][2] * Hm[1][0] - Hm[0][0] * Hm[1][2]) * inv_det],
+          [c02 * inv_det,
+           (Hm[0][1] * Hm[2][0] - Hm[0][0] * Hm[2][1]) * inv_det,
+           (Hm[0][0] * Hm[1][1] - Hm[0][1] * Hm[1][0]) * inv_det]]
+
+    xx = jnp.arange(W, dtype=jnp.float32)[None, :]
+    yy = jnp.arange(H, dtype=jnp.float32)[:, None]
+    # Warped center pt_c = H p.
+    cz = Hm[2][0] * xx + Hm[2][1] * yy + Hm[2][2]
+    cx_ = (Hm[0][0] * xx + Hm[0][1] * yy + Hm[0][2]) / cz
+    cy_ = (Hm[1][0] * xx + Hm[1][1] * yy + Hm[1][2]) / cz
+    cen_pix = bilinear_sample(src_img, cx_, cy_)
+
+    sums = [0.0] * 5
+    wsum = 0.0
+    for (i, j) in offsets:
+        plx = cx_ + i
+        ply = cy_ + j
+        ref_pix = bilinear_sample(src_img, plx, ply) - cen_pix
+        prz = Vm[2][0] * plx + Vm[2][1] * ply + Vm[2][2]
+        prx = (Vm[0][0] * plx + Vm[0][1] * ply + Vm[0][2]) / prz
+        pry = (Vm[1][0] * plx + Vm[1][1] * ply + Vm[1][2]) / prz
+        src_pix = bilinear_sample(ref_img, prx, pry) - cen_pix
+        spatial = float(jnp.sqrt(float(i * i + j * j)))
+        w = jnp.exp(-spatial * inv_2ss - jnp.abs(ref_pix) * inv_2sc)
+        sums[0] = sums[0] + w * ref_pix
+        sums[1] = sums[1] + w * ref_pix * ref_pix
+        sums[2] = sums[2] + w * src_pix
+        sums[3] = sums[3] + w * src_pix * src_pix
+        sums[4] = sums[4] + w * ref_pix * src_pix
+        wsum = wsum + w
+
+    inv_wsum = 1.0 / wsum
+    mr, mrr, ms, mss, mrs = [s * inv_wsum for s in sums]
+    var_ref = mrr - mr * mr
+    var_src = mss - ms * ms
+    covar = mrs - mr * ms
+    cost = 1.0 - covar * jax.lax.rsqrt(jnp.maximum(var_ref * var_src, 1e-30))
+    cost = jnp.clip(cost, 0.0, params.cost_max)
+    low_var = (var_ref < params.min_var) | (var_src < params.min_var)
+    return jnp.where(low_var, params.cost_max, cost)
