@@ -1,0 +1,81 @@
+"""End-to-end PatchMatch convergence on the synthetic scene."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tsar_mvs_tpu import geometry as geo
+from tsar_mvs_tpu.config import AlgorithmParams
+from tsar_mvs_tpu.models import patchmatch as pm
+from tsar_mvs_tpu.ops import checkerboard as cb
+from tsar_mvs_tpu.ops import ncc
+
+
+def test_candidate_banks_match_reference_offsets():
+    """Bank tables mirror gipuma.cu:874-1042 (sans the two reference
+    bugs documented in ops/checkerboard.py)."""
+    up_far, down_far, left_far, right_far = cb.BANKS[:4]
+    assert up_far[0] == (0, -3) and up_far[-1] == (0, -23)
+    assert down_far[5] == (0, 13)
+    assert left_far[2] == (-7, 0)
+    assert right_far[0] == (3, 0)
+    up_near, down_near, left_near, right_near = cb.BANKS[4:]
+    assert set(up_near) == {(0, -1), (0, -2), (-1, -3), (1, -3), (-2, -4),
+                            (2, -4)}
+    assert set(left_near) == {(-1, 0), (-2, 0), (-3, -1), (-3, 1), (-4, -2),
+                              (-4, 2)}
+
+
+def test_select_candidates_picks_min_stored_cost(rng):
+    H, W = 32, 32
+    cost = jnp.asarray(rng.uniform(0.5, 2.0, (H, W)), jnp.float32)
+    normal = jnp.asarray(rng.standard_normal((H, W, 3)), jnp.float32)
+    d = jnp.asarray(rng.uniform(1, 2, (H, W)), jnp.float32)
+    cands = pm.cb.select_candidates(normal, d, cost)
+    # Oracle for the up_far bank at an interior pixel.
+    y, x = 25, 16
+    offs = cb.BANKS[0]
+    cs = [float(cost[y + dy, x + dx]) for (dx, dy) in offs
+          if 0 <= y + dy < H and 0 <= x + dx < W]
+    pts = [(y + dy, x + dx) for (dx, dy) in offs
+           if 0 <= y + dy < H and 0 <= x + dx < W]
+    by, bx = pts[int(np.argmin(cs))]
+    np.testing.assert_allclose(np.asarray(cands.d)[0, y, x],
+                               float(d[by, bx]))
+    assert bool(cands.valid[0, y, x])
+    # Near the top border the up_far bank has no sample.
+    assert not bool(cands.valid[0, 1, x])
+
+
+def test_parity_mask():
+    m0 = np.asarray(cb.parity_mask(4, 4, 0))
+    assert m0[0, 0] and not m0[0, 1] and m0[1, 1]
+    m1 = np.asarray(cb.parity_mask(4, 4, 1))
+    assert not (m0 & m1).any() and (m0 | m1).all()
+
+
+@pytest.mark.slow
+def test_patchmatch_converges_on_synthetic_scene(scene):
+    cams = geo.build_camera_set(list(scene.P), depth_min=scene.depth_min,
+                                depth_max=scene.depth_max)
+    params = AlgorithmParams(iterations=6).with_depth_range(
+        scene.depth_min, scene.depth_max, float(cams.f))
+    imgs = jnp.asarray(scene.images, jnp.float32)
+    key = jax.random.PRNGKey(0)
+    state = pm.run_patchmatch(key, imgs, (1, 2, 3, 4), cams, params)
+    depth = np.asarray(pm.depth_map(state, cams))
+
+    gt = scene.depth[0]
+    ok = np.isfinite(gt) & ~scene.weak_mask[0]
+    interior = np.zeros_like(ok)
+    interior[8:-8, 8:-8] = ok[8:-8, 8:-8]
+    rel_err = np.abs(depth - gt) / gt
+    # Textured interior: most pixels should land within 2% of GT depth.
+    frac_good = (rel_err[interior] < 0.02).mean()
+    # Raw PatchMatch leaves occlusion/weak-window outliers by design —
+    # the TSAR refinement stages exist to clean those up.
+    assert frac_good > 0.8, frac_good
+    assert np.median(rel_err[interior]) < 0.005
+    # Costs should be low where converged.
+    assert np.median(np.asarray(state.cost)[interior]) < 0.2

@@ -1,0 +1,238 @@
+"""Checkerboard PatchMatch MVS engine.
+
+The compute core of the framework: red/black propagation + per-pixel
+random plane refinement over bilateral-NCC multi-view cost — the full
+Gipuma/ACMM-style matcher the reference contains (gipuma.cu:524-1138,
+driver loop at gipuma.cu:1744-1754), expressed as dense parity-masked
+updates inside one jitted `lax.fori_loop`.
+
+Randomness is a counter-based `jax.random` stream keyed by
+(iteration, parity, scale) — reproducible, unlike the reference's
+`curand_init(clock64(), ...)` reseeding (gipuma.cu:700, SURVEY.md §7
+determinism note).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from tsar_mvs_tpu.config import AlgorithmParams
+from tsar_mvs_tpu import geometry as geo
+from tsar_mvs_tpu.ops import checkerboard as cb
+from tsar_mvs_tpu.ops import ncc
+
+
+class PlaneState(NamedTuple):
+    """Per-pixel plane hypotheses (the SoA core of LineState,
+    linestate.h:10-221)."""
+    normal: jnp.ndarray     # (H, W, 3) unit normal, rebased ref frame
+    d: jnp.ndarray          # (H, W) plane offset (norm4.w)
+    cost: jnp.ndarray       # (H, W) current aggregated matching cost
+    ratio: jnp.ndarray      # (H, W) best/second-best view cost ratio
+    best_view: jnp.ndarray  # (H, W) int32 id of best source view
+
+    @property
+    def shape(self):
+        return self.d.shape
+
+
+def depth_map(state: PlaneState, cams: geo.CameraSet) -> jnp.ndarray:
+    """Per-pixel depth induced by the plane field (getDisparity_cu)."""
+    H, W = state.shape
+    xx = jnp.arange(W, dtype=jnp.float32)[None, :]
+    yy = jnp.arange(H, dtype=jnp.float32)[:, None]
+    return geo.depth_from_plane(cams, state.normal, state.d, xx, yy)
+
+
+def refine_schedule(params: AlgorithmParams) -> list[tuple[float, float]]:
+    """Static (delta_disp, delta_normal) schedule: disparity radius
+    max_disparity/2 shrinking /10 down to 0.01, normal radius 1.0
+    shrinking /4 (planeRefinement_cu, gipuma.cu:634-675)."""
+    out = []
+    dz = params.max_disparity / 2.0
+    dn = params.refine_delta_n_init
+    while dz >= params.refine_delta_z_min:
+        out.append((dz, dn))
+        dz /= params.refine_delta_z_shrink
+        dn /= params.refine_delta_n_shrink
+    return out
+
+
+def random_init(key: jax.Array, imgs: jnp.ndarray,
+                view_ids: Sequence[int], cams: geo.CameraSet,
+                stats: ncc.RefStats,
+                params: AlgorithmParams) -> PlaneState:
+    """Random plane init (gipuma_init_cu2, gipuma.cu:678-729): disparity
+    uniform in [min_disparity, max_disparity] -> depth; normal uniform on
+    the view-facing hemisphere."""
+    H, W = imgs.shape[1:]
+    k_disp, k_norm = jax.random.split(key)
+    disp = jax.random.uniform(k_disp, (H, W), jnp.float32,
+                              params.min_disparity, params.max_disparity)
+    depth = geo.disparity_depth(cams.f, cams.baseline, disp)
+    # Gaussian -> normalize is uniform on the sphere (equivalent to the
+    # reference's Marsaglia sampling, gipuma.cu:118-132).
+    n = jax.random.normal(k_norm, (H, W, 3), jnp.float32)
+    n = geo.normalize(n)
+    vv = geo.view_vectors(cams, H, W)
+    n = geo.hemisphere_flip(n, vv)
+    d = geo.plane_d_from_depth(n, stats.rays, depth)
+    mv = ncc.multiview_cost(imgs, view_ids, cams, n, d, stats, params)
+    return PlaneState(normal=n, d=d, cost=mv.cost, ratio=mv.ratio,
+                      best_view=mv.best_view)
+
+
+def state_from_prior(depth: jnp.ndarray, normal: jnp.ndarray,
+                     cams: geo.CameraSet, stats: ncc.RefStats,
+                     rotate_to_ref: bool = True,
+                     init_cost: float = 1.0) -> PlaneState:
+    """Lift a prior depth/normal map into plane hypotheses
+    (main.cpp:1479-1490 + gipuma_get_disp, gipuma.cu:732-755): rotate
+    world-frame normals into the rebased reference frame with R_orig and
+    set d through the backprojected point."""
+    H, W = depth.shape
+    if rotate_to_ref:
+        normal = geo.matvec3(cams.R_orig[0], normal)
+    d = geo.plane_d_from_depth(normal, stats.rays, depth)
+    shape = (H, W)
+    return PlaneState(normal=normal, d=d, cost=jnp.full(shape, init_cost),
+                      ratio=jnp.zeros(shape),
+                      best_view=jnp.full(shape, -1, jnp.int32))
+
+
+def _propagation_pass(state: PlaneState, parity: int, imgs: jnp.ndarray,
+                      view_ids: Sequence[int], cams: geo.CameraSet,
+                      stats: ncc.RefStats, params: AlgorithmParams,
+                      skip_mask: jnp.ndarray | None = None) -> PlaneState:
+    """One checkerboard spatial-propagation half-pass."""
+    H, W = state.shape
+    cands = cb.select_candidates(state.normal, state.d, state.cost)
+    mv = ncc.multiview_cost(imgs, view_ids, cams, cands.normal, cands.d,
+                            stats, params)
+
+    xx = jnp.arange(W, dtype=jnp.float32)[None, :]
+    yy = jnp.arange(H, dtype=jnp.float32)[:, None]
+    depth_at_p = geo.depth_from_plane(cams, cands.normal, cands.d, xx, yy)
+    in_borders = ((depth_at_p >= cams.depth_min)
+                  & (depth_at_p <= cams.depth_max))
+    cand_cost = jnp.where(cands.valid & in_borders, mv.cost, jnp.inf)
+
+    # Running min over the 8 banks, carrying the winner's fields.
+    best_cost = state.cost
+    best_n = state.normal
+    best_d = state.d
+    best_ratio = state.ratio
+    best_view = state.best_view
+    for k in range(cands.d.shape[0]):
+        take = cand_cost[k] < best_cost
+        best_cost = jnp.where(take, cand_cost[k], best_cost)
+        best_n = jnp.where(take[..., None], cands.normal[k], best_n)
+        best_d = jnp.where(take, cands.d[k], best_d)
+        best_ratio = jnp.where(take, mv.ratio[k], best_ratio)
+        best_view = jnp.where(take, mv.best_view[k], best_view)
+
+    upd = cb.parity_mask(H, W, parity)
+    if skip_mask is not None:
+        upd = upd & ~skip_mask
+    return PlaneState(
+        normal=jnp.where(upd[..., None], best_n, state.normal),
+        d=jnp.where(upd, best_d, state.d),
+        cost=jnp.where(upd, best_cost, state.cost),
+        ratio=jnp.where(upd, best_ratio, state.ratio),
+        best_view=jnp.where(upd, best_view, state.best_view))
+
+
+def _refinement_pass(state: PlaneState, parity: int, key: jax.Array,
+                     imgs: jnp.ndarray, view_ids: Sequence[int],
+                     cams: geo.CameraSet, stats: ncc.RefStats,
+                     params: AlgorithmParams,
+                     skip_mask: jnp.ndarray | None = None) -> PlaneState:
+    """One checkerboard plane-refinement half-pass: multi-scale random
+    search in (disparity, normal) space with sequential accepts
+    (planeRefinement_cu + getRndDispAndUnitVector_cu,
+    gipuma.cu:568-676)."""
+    H, W = state.shape
+    xx = jnp.arange(W, dtype=jnp.float32)[None, :]
+    yy = jnp.arange(H, dtype=jnp.float32)[:, None]
+    vv = geo.view_vectors(cams, H, W)
+    upd = cb.parity_mask(H, W, parity)
+    if skip_mask is not None:
+        upd = upd & ~skip_mask
+
+    f, b = cams.f, cams.baseline
+    for s_idx, (delta_z, delta_n) in enumerate(refine_schedule(params)):
+        k = jax.random.fold_in(key, s_idx)
+        k_z, k_n = jax.random.split(k)
+        # Current depth at p -> disparity domain.
+        depth_now = geo.depth_from_plane(cams, state.normal, state.d, xx, yy)
+        disp_now = geo.disparity_depth(f, b, depth_now)
+        min_delta = -jnp.minimum(delta_z, params.min_disparity + disp_now)
+        max_delta = jnp.minimum(delta_z, params.max_disparity - disp_now)
+        u = jax.random.uniform(k_z, (H, W), jnp.float32)
+        dz = min_delta + u * (max_delta - min_delta)
+        disp_new = jnp.clip(disp_now + dz, params.min_disparity,
+                            params.max_disparity)
+        depth_new = geo.disparity_depth(f, b, disp_new)
+
+        dn = jax.random.uniform(k_n, (H, W, 3), jnp.float32,
+                                -delta_n, delta_n)
+        n_new = geo.normalize(state.normal + dn)
+        n_new = geo.hemisphere_flip(n_new, vv)
+        d_new = geo.plane_d_from_depth(n_new, stats.rays, depth_new)
+
+        mv = ncc.multiview_cost(imgs, view_ids, cams, n_new, d_new, stats,
+                                params)
+        take = (mv.cost < state.cost) & upd
+        state = PlaneState(
+            normal=jnp.where(take[..., None], n_new, state.normal),
+            d=jnp.where(take, d_new, state.d),
+            cost=jnp.where(take, mv.cost, state.cost),
+            ratio=jnp.where(take, mv.ratio, state.ratio),
+            best_view=jnp.where(take, mv.best_view, state.best_view))
+    return state
+
+
+def make_patchmatch_step(imgs: jnp.ndarray, view_ids: Sequence[int],
+                         cams: geo.CameraSet, stats: ncc.RefStats,
+                         params: AlgorithmParams,
+                         skip_mask: jnp.ndarray | None = None):
+    """One full iteration: black prop, black refine, red prop, red refine
+    (gipuma.cu:1744-1754 loop body)."""
+    def step(it: jnp.ndarray, carry: tuple[PlaneState, jax.Array]):
+        state, key = carry
+        it_key = jax.random.fold_in(key, it)
+        for parity in (0, 1):
+            state = _propagation_pass(state, parity, imgs, view_ids, cams,
+                                      stats, params, skip_mask)
+            state = _refinement_pass(state, parity,
+                                     jax.random.fold_in(it_key, parity),
+                                     imgs, view_ids, cams, stats, params,
+                                     skip_mask)
+        return (state, key)
+    return step
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("view_ids", "params", "iterations"))
+def run_patchmatch(key: jax.Array, imgs: jnp.ndarray,
+                   view_ids: tuple[int, ...], cams: geo.CameraSet,
+                   params: AlgorithmParams,
+                   iterations: int | None = None,
+                   init_state: PlaneState | None = None) -> PlaneState:
+    """Full PatchMatch: random (or prior) init + N checkerboard iterations.
+
+    imgs: (V, H, W) float32, index 0 = reference view.
+    """
+    stats = ncc.precompute_ref_stats(imgs[0], cams, params)
+    init_key, key = jax.random.split(key)
+    if init_state is None:
+        init_state = random_init(init_key, imgs, view_ids, cams, stats,
+                                 params)
+    iters = params.iterations if iterations is None else iterations
+    step = make_patchmatch_step(imgs, view_ids, cams, stats, params)
+    state, _ = jax.lax.fori_loop(0, iters, step, (init_state, key))
+    return state

@@ -24,6 +24,7 @@ cost = 2 where either windowed variance < 1e-5.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple, Sequence
 
 import jax
@@ -79,7 +80,7 @@ def precompute_ref_stats(ref_img: jnp.ndarray, cams: CameraSet,
     weights = []
     for (i, j) in offsets:
         ref_c = shift_with_edge_clamp(ref_img, j, i) - ref_img
-        spatial = float(jnp.sqrt(float(i * i + j * j)))
+        spatial = math.sqrt(i * i + j * j)
         w = jnp.exp(-spatial * inv_2ss - jnp.abs(ref_c) * inv_2sc)
         shifted.append(ref_c)
         weights.append(w)
@@ -280,7 +281,7 @@ def _rl_cost_single(ref_img: jnp.ndarray, src_img: jnp.ndarray,
         prx = (Vm[0][0] * plx + Vm[0][1] * ply + Vm[0][2]) / prz
         pry = (Vm[1][0] * plx + Vm[1][1] * ply + Vm[1][2]) / prz
         src_pix = bilinear_sample(ref_img, prx, pry) - cen_pix
-        spatial = float(jnp.sqrt(float(i * i + j * j)))
+        spatial = math.sqrt(i * i + j * j)
         w = jnp.exp(-spatial * inv_2ss - jnp.abs(ref_pix) * inv_2sc)
         sums[0] = sums[0] + w * ref_pix
         sums[1] = sums[1] + w * ref_pix * ref_pix
