@@ -1,0 +1,116 @@
+"""Multi-device sharding tests on the spoofed 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tsar_mvs_tpu import geometry as geo
+from tsar_mvs_tpu.config import AlgorithmParams, FusionParams
+from tsar_mvs_tpu.models import patchmatch as pm
+from tsar_mvs_tpu.parallel import mesh as pmesh
+
+
+@pytest.fixture(scope="module")
+def small_scene():
+    from tsar_mvs_tpu.utils.synthetic import make_scene
+    return make_scene(height=48, width=64, num_views=8, seed=1)
+
+
+def _make_batch(scene, num_src=3):
+    V = scene.num_views
+    ref_ids = list(range(V))
+    src_ids = [[j for j in range(V) if j != r][:num_src] for r in ref_ids]
+    return pm.build_scene_batch(list(scene.P), ref_ids, src_ids, num_src)
+
+
+def test_devices_available():
+    assert len(jax.devices()) >= 8
+
+
+def test_batched_matches_single(small_scene):
+    """patchmatch_one_ref with traced ids must agree with the static-id
+    engine for the same key and geometry."""
+    scene = small_scene
+    cams = geo.build_camera_set(list(scene.P), depth_min=scene.depth_min,
+                                depth_max=scene.depth_max)
+    params = AlgorithmParams(iterations=2).with_depth_range(
+        scene.depth_min, scene.depth_max, float(cams.f))
+    imgs = jnp.asarray(scene.images, jnp.float32)
+    batch = _make_batch(scene)
+
+    key = jax.random.PRNGKey(3)
+    st_batched = pm.patchmatch_one_ref(
+        key, imgs, batch.ref_ids[0], batch.src_ids[0], batch.src_valid[0],
+        batch.A[0], batch.b[0], cams, params, 2)
+
+    # Static path with the same source subset and the same key schedule.
+    view_ids = tuple(int(v) for v in np.asarray(batch.src_ids[0]))
+    init_key, loop_key = jax.random.split(key)
+    st_static = pm.run_patchmatch(key, imgs, view_ids, cams, params,
+                                  iterations=2)
+    # The two paths build identical RNG streams (same key splits), so the
+    # results must match to float tolerance.
+    np.testing.assert_allclose(np.asarray(st_batched.d),
+                               np.asarray(st_static.d), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(st_batched.best_view),
+                                  np.asarray(st_static.best_view))
+
+
+def test_sharded_patchmatch_runs(small_scene):
+    scene = small_scene
+    cams = geo.build_camera_set(list(scene.P), depth_min=scene.depth_min,
+                                depth_max=scene.depth_max)
+    params = AlgorithmParams(iterations=1).with_depth_range(
+        scene.depth_min, scene.depth_max, float(cams.f))
+    imgs = jnp.asarray(scene.images, jnp.float32)
+    batch = _make_batch(scene)
+    mesh = pmesh.view_mesh(8)
+
+    state = pmesh.patchmatch_sharded(mesh, jax.random.PRNGKey(0), imgs,
+                                     batch, cams, params, iterations=1)
+    assert state.d.shape == (8, 48, 64)
+    assert np.isfinite(np.asarray(state.cost)).all()
+
+    # Sharded result == unsharded batch result (same keys, same math).
+    ref = pm.run_patchmatch_many(jax.random.PRNGKey(0), imgs, batch, cams,
+                                 params, 1)
+    np.testing.assert_allclose(np.asarray(state.d), np.asarray(ref.d),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_padding(small_scene):
+    """R not divisible by the mesh size gets padded and sliced back."""
+    scene = small_scene
+    cams = geo.build_camera_set(list(scene.P), depth_min=scene.depth_min,
+                                depth_max=scene.depth_max)
+    params = AlgorithmParams(iterations=1).with_depth_range(
+        scene.depth_min, scene.depth_max, float(cams.f))
+    imgs = jnp.asarray(scene.images, jnp.float32)
+    batch = _make_batch(scene)
+    batch5 = jax.tree.map(lambda a: a[:5], batch)
+    mesh = pmesh.view_mesh(8)
+    state = pmesh.patchmatch_sharded(mesh, jax.random.PRNGKey(0), imgs,
+                                     batch5, cams, params, iterations=1)
+    assert state.d.shape[0] == 5
+
+
+def test_fuse_sharded_matches_host(small_scene):
+    scene = small_scene
+    cams_w = geo.build_camera_set(list(scene.P), rebase=False)
+    depths = jnp.asarray(np.where(np.isfinite(scene.depth), scene.depth,
+                                  0.0), jnp.float32)
+    normals = jnp.asarray(scene.normal_world, jnp.float32)
+    fp = FusionParams(used_list=False)
+    mesh = pmesh.view_mesh(8)
+    ps, ns, cnt, emit = pmesh.fuse_sharded(mesh, depths, normals, cams_w,
+                                           fp)
+    assert cnt.shape == depths.shape
+    # Compare one view's votes against the single-device path.
+    from tsar_mvs_tpu.models.fusion import fusion_votes
+    used = jnp.zeros(depths.shape, bool)
+    ps0, ns0, cnt0, emit0, _ = fusion_votes(2, depths, normals, cams_w,
+                                            used, fp, scene.num_views)
+    np.testing.assert_array_equal(np.asarray(cnt[2]), np.asarray(cnt0))
+    np.testing.assert_array_equal(np.asarray(emit[2]), np.asarray(emit0))

@@ -1,0 +1,63 @@
+"""End-to-end TSAR refinement: PatchMatch + weak-region repair on the
+synthetic scene. The flat (textureless) rectangle is unrecoverable by raw
+PatchMatch (NCC variance guard -> MAXCOST) and must be repaired by the
+region-RANSAC fill."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tsar_mvs_tpu import geometry as geo
+from tsar_mvs_tpu.config import AlgorithmParams
+from tsar_mvs_tpu.models import patchmatch as pm
+from tsar_mvs_tpu.models import tsar
+from tsar_mvs_tpu.models import weak_texture as wt
+
+
+@pytest.mark.slow
+def test_tsar_repairs_textureless_region(scene):
+    cams = geo.build_camera_set(list(scene.P), depth_min=scene.depth_min,
+                                depth_max=scene.depth_max)
+    params = AlgorithmParams(
+        iterations=6, weak_text_num=25, hough_thr=12, min_line_length=12,
+        max_line_gap=3, ransac_iters=2000, ransac_anneal_rounds=200,
+        # The toy 128-px scene has ~16x coarser depth resolution than the
+        # ETH3D scale the reference constants assume.
+        ransac_thr_base=0.005, ransac_thr_max=0.05, ransac_thr_step=0.002,
+        wmf_drift_thr=2.0,
+    ).with_depth_range(scene.depth_min, scene.depth_max, float(cams.f))
+    imgs = jnp.asarray(scene.images, jnp.float32)
+    view_ids = (1, 2, 3, 4)
+    key = jax.random.PRNGKey(0)
+
+    state = pm.run_patchmatch(key, imgs, view_ids, cams, params)
+    weak = wt.detect_weak_texture(scene.images[0], params, pyr_levels=1)
+    result = tsar.tsar_refine(scene.images, cams, view_ids, params, state,
+                              weak, None, jax.random.PRNGKey(7),
+                              wmf_final_iters=3)
+
+    gt = scene.depth[0]
+    weak_gt = scene.weak_mask[0] & np.isfinite(gt)
+    # Erode the GT weak mask so window-straddling border pixels don't count.
+    from scipy import ndimage
+    weak_core = ndimage.binary_erosion(weak_gt, iterations=4)
+
+    raw_depth = np.asarray(pm.depth_map(state, cams))
+    raw_err = np.abs(raw_depth - gt) / gt
+    ref_err = np.abs(result.depth - gt) / gt
+
+    # Raw PatchMatch fails on the flat rect (random planes stay).
+    assert np.median(raw_err[weak_core]) > 0.05
+    # TSAR repairs it.
+    assert np.median(ref_err[weak_core]) < 0.02, \
+        np.median(ref_err[weak_core])
+    # And textured regions stay good.
+    ok = np.isfinite(gt) & ~scene.weak_mask[0]
+    interior = np.zeros_like(ok)
+    interior[8:-8, 8:-8] = ok[8:-8, 8:-8]
+    assert np.median(ref_err[interior]) < 0.01
+    # Outputs well-formed.
+    assert result.normal_world.shape == gt.shape + (3,)
+    nrm = np.linalg.norm(result.normal_cam, axis=-1)
+    np.testing.assert_allclose(nrm[np.isfinite(nrm)], 1.0, atol=1e-3)

@@ -71,10 +71,22 @@ class AlgorithmParams:
     max_line_gap: int = 18
     weak_text_num: int = 5000
     size_rat: float = 2.5
-    # Region RANSAC (reference: main.cpp:1519-1730).
+    # Region RANSAC (reference: main.cpp:1519-1730). The threshold
+    # constants are world-scale dependent (the reference hardcodes
+    # 0.0003/0.003/1e-4 for ETH3D metric scenes, main.cpp:1551,1645);
+    # expose them so other scene scales can adapt.
     ransac_iters: int = 10000
     ransac_anneal_rounds: int = 1000
     ransac_max_points: int = 50000
+    ransac_thr_base: float = 0.0003
+    ransac_thr_max: float = 0.003
+    ransac_thr_step: float = 0.0001
+    # Ring of reliable pixels around a weak region also feeding its plane
+    # fit. The reference collects points strictly inside the region
+    # (main.cpp:1526-1535) because its APD prior provides usable interior
+    # depths; a from-scratch prior benefits from anchoring the fit on the
+    # coplanar textured surround as well. 0 disables (reference behavior).
+    ransac_ring: int = 4
     # SLIC (reference: main.cpp:609-615).
     slic_num_segs: int = 4256
     slic_spixel_size: int = 20
@@ -86,6 +98,10 @@ class AlgorithmParams:
     wmf_final_iters: int = 6
     wmf_sigma_spatial: float = 2.0
     wmf_sigma_color: float = 3.0
+    # Median-drift outlier threshold in disparity units, halved per
+    # iteration (24/2^i, gipuma.cu:1673,1686). Scale-dependent: 24 suits
+    # ETH3D-resolution disparity ranges.
+    wmf_drift_thr: float = 24.0
     # Confidence / LR check.
     lr_diff_clamp: float = 1.0
 

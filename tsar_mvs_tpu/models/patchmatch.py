@@ -104,15 +104,14 @@ def state_from_prior(depth: jnp.ndarray, normal: jnp.ndarray,
                       best_view=jnp.full(shape, -1, jnp.int32))
 
 
-def _propagation_pass(state: PlaneState, parity: int, imgs: jnp.ndarray,
-                      view_ids: Sequence[int], cams: geo.CameraSet,
-                      stats: ncc.RefStats, params: AlgorithmParams,
+def _propagation_pass(state: PlaneState, parity: int, cost_fn,
+                      cams: geo.CameraSet, params: AlgorithmParams,
                       skip_mask: jnp.ndarray | None = None) -> PlaneState:
-    """One checkerboard spatial-propagation half-pass."""
+    """One checkerboard spatial-propagation half-pass. cost_fn(normal, d)
+    -> MultiviewCost evaluates the multi-view cost of a plane field."""
     H, W = state.shape
     cands = cb.select_candidates(state.normal, state.d, state.cost)
-    mv = ncc.multiview_cost(imgs, view_ids, cams, cands.normal, cands.d,
-                            stats, params)
+    mv = cost_fn(cands.normal, cands.d)
 
     xx = jnp.arange(W, dtype=jnp.float32)[None, :]
     yy = jnp.arange(H, dtype=jnp.float32)[:, None]
@@ -147,8 +146,7 @@ def _propagation_pass(state: PlaneState, parity: int, imgs: jnp.ndarray,
 
 
 def _refinement_pass(state: PlaneState, parity: int, key: jax.Array,
-                     imgs: jnp.ndarray, view_ids: Sequence[int],
-                     cams: geo.CameraSet, stats: ncc.RefStats,
+                     cost_fn, rays: jnp.ndarray, cams: geo.CameraSet,
                      params: AlgorithmParams,
                      skip_mask: jnp.ndarray | None = None) -> PlaneState:
     """One checkerboard plane-refinement half-pass: multi-scale random
@@ -182,10 +180,9 @@ def _refinement_pass(state: PlaneState, parity: int, key: jax.Array,
                                 -delta_n, delta_n)
         n_new = geo.normalize(state.normal + dn)
         n_new = geo.hemisphere_flip(n_new, vv)
-        d_new = geo.plane_d_from_depth(n_new, stats.rays, depth_new)
+        d_new = geo.plane_d_from_depth(n_new, rays, depth_new)
 
-        mv = ncc.multiview_cost(imgs, view_ids, cams, n_new, d_new, stats,
-                                params)
+        mv = cost_fn(n_new, d_new)
         take = (mv.cost < state.cost) & upd
         state = PlaneState(
             normal=jnp.where(take[..., None], n_new, state.normal),
@@ -196,8 +193,7 @@ def _refinement_pass(state: PlaneState, parity: int, key: jax.Array,
     return state
 
 
-def make_patchmatch_step(imgs: jnp.ndarray, view_ids: Sequence[int],
-                         cams: geo.CameraSet, stats: ncc.RefStats,
+def make_patchmatch_step(cost_fn, rays: jnp.ndarray, cams: geo.CameraSet,
                          params: AlgorithmParams,
                          skip_mask: jnp.ndarray | None = None):
     """One full iteration: black prop, black refine, red prop, red refine
@@ -206,11 +202,11 @@ def make_patchmatch_step(imgs: jnp.ndarray, view_ids: Sequence[int],
         state, key = carry
         it_key = jax.random.fold_in(key, it)
         for parity in (0, 1):
-            state = _propagation_pass(state, parity, imgs, view_ids, cams,
-                                      stats, params, skip_mask)
+            state = _propagation_pass(state, parity, cost_fn, cams,
+                                      params, skip_mask)
             state = _refinement_pass(state, parity,
                                      jax.random.fold_in(it_key, parity),
-                                     imgs, view_ids, cams, stats, params,
+                                     cost_fn, rays, cams, params,
                                      skip_mask)
         return (state, key)
     return step
@@ -229,10 +225,128 @@ def run_patchmatch(key: jax.Array, imgs: jnp.ndarray,
     """
     stats = ncc.precompute_ref_stats(imgs[0], cams, params)
     init_key, key = jax.random.split(key)
+
+    def cost_fn(normal, d):
+        return ncc.multiview_cost(imgs, view_ids, cams, normal, d, stats,
+                                  params)
+
     if init_state is None:
         init_state = random_init(init_key, imgs, view_ids, cams, stats,
                                  params)
     iters = params.iterations if iterations is None else iterations
-    step = make_patchmatch_step(imgs, view_ids, cams, stats, params)
+    step = make_patchmatch_step(cost_fn, stats.rays, cams, params)
     state, _ = jax.lax.fori_loop(0, iters, step, (init_state, key))
     return state
+
+
+# ---------------------------------------------------------------------------
+# Batched multi-reference-view runner — the unit that shards over a
+# `("view",)` device mesh (SURVEY.md §2 "per-view task parallelism": the
+# reference's shell loop over views, scripts/courtyard.sh:28-48, becomes a
+# data-parallel axis).
+# ---------------------------------------------------------------------------
+
+class SceneBatch(NamedTuple):
+    """Per-reference-view batch arrays for `run_patchmatch_many`.
+
+    R reference views, each matched against up to S source views. All
+    geometry is in each reference view's own rebased frame; the shared
+    scalars (K, depth range) live in `cams`.
+    """
+    ref_ids: jnp.ndarray    # (R,)   int32 index into imgs
+    src_ids: jnp.ndarray    # (R, S) int32 index into imgs
+    src_valid: jnp.ndarray  # (R, S) bool (padding mask)
+    A: jnp.ndarray          # (R, S, 3, 3) K R_rel K^-1 per (ref, src)
+    b: jnp.ndarray          # (R, S, 3)    K t_rel
+
+
+def build_scene_batch(P_list, ref_ids: Sequence[int],
+                      src_ids_per_ref: Sequence[Sequence[int]],
+                      num_src: int, cam_scale: float = 1.0) -> SceneBatch:
+    """Host-side construction of the (R, S) warp-factor arrays from raw
+    projection matrices + a view-selection table (pair.txt contract)."""
+    import numpy as np
+    Ks, Rs, ts = [], [], []
+    for P in P_list:
+        K, R, C = geo.decompose_projection(np.asarray(P, np.float64))
+        Ks.append(geo.scale_K(K, cam_scale))
+        Rs.append(R)
+        ts.append(-R @ C)
+    K_ref = Ks[0]
+    K_inv = np.linalg.inv(K_ref)
+
+    R_ = len(ref_ids)
+    S = num_src
+    A = np.zeros((R_, S, 3, 3))
+    b = np.zeros((R_, S, 3))
+    sid = np.zeros((R_, S), np.int32)
+    valid = np.zeros((R_, S), bool)
+    for i, ref in enumerate(ref_ids):
+        for j, src in enumerate(list(src_ids_per_ref[i])[:S]):
+            R_rel = Rs[src] @ Rs[ref].T
+            t_rel = ts[src] - R_rel @ ts[ref]
+            A[i, j] = K_ref @ R_rel @ K_inv
+            b[i, j] = K_ref @ t_rel
+            sid[i, j] = src
+            valid[i, j] = True
+    return SceneBatch(ref_ids=jnp.asarray(np.asarray(ref_ids, np.int32)),
+                      src_ids=jnp.asarray(sid),
+                      src_valid=jnp.asarray(valid),
+                      A=jnp.asarray(A, jnp.float32),
+                      b=jnp.asarray(b, jnp.float32))
+
+
+def patchmatch_one_ref(key: jax.Array, imgs: jnp.ndarray,
+                       ref_id: jnp.ndarray, src_ids: jnp.ndarray,
+                       src_valid: jnp.ndarray, A: jnp.ndarray,
+                       b: jnp.ndarray, cams: geo.CameraSet,
+                       params: AlgorithmParams,
+                       iterations: int) -> PlaneState:
+    """PatchMatch for one reference view with *traced* view indices and
+    warp factors (the shardable unit)."""
+    ref_img = imgs[ref_id]
+    src_imgs = imgs[src_ids]                 # (S, H, W) dynamic gather
+    stats = ncc.precompute_ref_stats(ref_img, cams, params)
+
+    def cost_fn(normal, d):
+        return ncc.multiview_cost_gathered(src_imgs, A, b, src_ids,
+                                           src_valid, normal, d, stats,
+                                           params)
+
+    init_key, key = jax.random.split(key)
+    H, W = ref_img.shape
+    k_disp, k_norm = jax.random.split(init_key)
+    disp = jax.random.uniform(k_disp, (H, W), jnp.float32,
+                              params.min_disparity, params.max_disparity)
+    depth = geo.disparity_depth(cams.f, cams.baseline, disp)
+    n = geo.normalize(jax.random.normal(k_norm, (H, W, 3), jnp.float32))
+    n = geo.hemisphere_flip(n, geo.view_vectors(cams, H, W))
+    d0 = geo.plane_d_from_depth(n, stats.rays, depth)
+    mv = cost_fn(n, d0)
+    init_state = PlaneState(normal=n, d=d0, cost=mv.cost, ratio=mv.ratio,
+                            best_view=mv.best_view)
+
+    step = make_patchmatch_step(cost_fn, stats.rays, cams, params)
+    state, _ = jax.lax.fori_loop(0, iterations, step, (init_state, key))
+    return state
+
+
+def run_patchmatch_many(key: jax.Array, imgs: jnp.ndarray,
+                        batch: SceneBatch, cams: geo.CameraSet,
+                        params: AlgorithmParams,
+                        iterations: int) -> PlaneState:
+    """Sequentially map PatchMatch over a batch of reference views
+    (stacked PlaneState out, leading axis R). Each device in a
+    view-sharded mesh runs this over its local shard."""
+    R = batch.ref_ids.shape[0]
+
+    def one(r):
+        # Fold by the *global* reference id so sharded shards of the same
+        # batch never collide on the PRNG stream.
+        return patchmatch_one_ref(
+            jax.random.fold_in(key, batch.ref_ids[r]), imgs,
+            batch.ref_ids[r],
+            batch.src_ids[r], batch.src_valid[r], batch.A[r], batch.b[r],
+            cams, params, iterations)
+
+    return jax.lax.map(one, jnp.arange(R))

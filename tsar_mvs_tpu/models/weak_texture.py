@@ -47,7 +47,7 @@ def roberts(img: np.ndarray) -> np.ndarray:
     d1 = img[:-1, :-1] - img[1:, 1:]
     d2 = img[1:, :-1] - img[:-1, 1:]
     mag = np.sqrt(d1 * d1 + d2 * d2)
-    out[1:-1, 1:-1] = mag[1:-1, 1:-1]  # borders keep 100 (always edges)
+    out[1:-1, 1:-1] = mag[1:, 1:]  # borders keep 100 (always edges)
     return np.clip(np.rint(out), 0, 255).astype(np.uint8)
 
 
@@ -182,12 +182,16 @@ class WeakTexture:
         return self.text.shape[0]
 
 
-def detect_weak_texture(gray: np.ndarray,
-                        params: AlgorithmParams) -> WeakTexture:
+def detect_weak_texture(gray: np.ndarray, params: AlgorithmParams,
+                        pyr_levels: int = 2) -> WeakTexture:
     """Full texture() pipeline (main.cpp:365-596) on a full-res grayscale
-    image in [0, 255]."""
+    image in [0, 255]. pyr_levels=2 reproduces the reference's quarter
+    scale (main.cpp:375-379); smaller images may use fewer levels."""
     H, W = gray.shape
-    down = pyr_down(pyr_down(gray))
+    scale = 2 ** pyr_levels
+    down = gray
+    for _ in range(pyr_levels):
+        down = pyr_down(down)
     edges = roberts(down)
     edges = np.where(edges > params.rob_thr, 255, 0).astype(np.uint8)
 
@@ -221,8 +225,8 @@ def detect_weak_texture(gray: np.ndarray,
                                                 labels.shape).ravel(),
                         minlength=M)
     cnt = np.maximum(counts, 1)
-    cenx = sum_x * 4.0 / cnt   # x4: full-res units (main.cpp:561-565)
-    ceny = sum_y * 4.0 / cnt
+    cenx = sum_x * float(scale) / cnt   # full-res units (main.cpp:561-565)
+    ceny = sum_y * float(scale) / cnt
 
     text = np.ones(M, np.int8)
     size = np.zeros(M, np.int32)
@@ -241,9 +245,9 @@ def detect_weak_texture(gray: np.ndarray,
             text[lab] = -1
             size[lab] = max(xsize, ysize)
 
-    # Upsample labels x4 with index clamping (main.cpp:552-560).
-    iy = np.minimum(np.arange(H) // 4, labels.shape[0] - 1)
-    ix = np.minimum(np.arange(W) // 4, labels.shape[1] - 1)
+    # Upsample labels to full res with index clamping (main.cpp:552-560).
+    iy = np.minimum(np.arange(H) // scale, labels.shape[0] - 1)
+    ix = np.minimum(np.arange(W) // scale, labels.shape[1] - 1)
     labels_full = labels[np.ix_(iy, ix)].astype(np.int32)
 
     return WeakTexture(labels_full=labels_full,

@@ -104,7 +104,17 @@ def precompute_ref_stats(ref_img: jnp.ndarray, cams: CameraSet,
 def pm_cost_view(src_img: jnp.ndarray, cams: CameraSet, view: int,
                  normal: jnp.ndarray, d: jnp.ndarray, stats: RefStats,
                  params: AlgorithmParams) -> jnp.ndarray:
-    """NCC cost of plane field (normal, d) against one source view.
+    """NCC cost against one statically-indexed source view."""
+    return pm_cost_ab(src_img, cams.A[view], cams.b[view], normal, d,
+                      stats, params)
+
+
+def pm_cost_ab(src_img: jnp.ndarray, A: jnp.ndarray, b: jnp.ndarray,
+               normal: jnp.ndarray, d: jnp.ndarray, stats: RefStats,
+               params: AlgorithmParams) -> jnp.ndarray:
+    """NCC cost of plane field (normal, d) against one source view given
+    its warp factors A = K_s R K_ref^-1, b = K_s t (possibly traced — the
+    view-sharded batch path indexes them dynamically).
 
     normal: (..., H, W, 3); d: (..., H, W). Returns (..., H, W).
     Faithful to pmCost (gipuma.cu:229-298) with the warp factored.
@@ -114,8 +124,6 @@ def pm_cost_view(src_img: jnp.ndarray, cams: CameraSet, view: int,
 
     xx = jnp.arange(W, dtype=jnp.float32)[None, :]
     yy = jnp.arange(H, dtype=jnp.float32)[:, None]
-    A = cams.A[view]
-    b = cams.b[view]
     # A p~ per pixel (candidate-independent): 3 planes of (H, W).
     Ap = [A[r, 0] * xx + A[r, 1] * yy + A[r, 2] for r in range(3)]
 
@@ -179,8 +187,37 @@ def multiview_cost(src_imgs: jnp.ndarray, view_ids: Sequence[int],
     costs = jnp.stack([
         pm_cost_view(src_imgs[v], cams, v, normal, d, stats, params)
         for v in view_ids], axis=0)                      # (V, ..., H, W)
-    V = len(view_ids)
+    ids = jnp.asarray(list(view_ids), jnp.int32)
+    return aggregate_view_costs(costs, ids, params)
 
+
+def multiview_cost_gathered(src_imgs: jnp.ndarray, A: jnp.ndarray,
+                            b: jnp.ndarray, src_ids: jnp.ndarray,
+                            src_valid: jnp.ndarray, normal: jnp.ndarray,
+                            d: jnp.ndarray, stats: RefStats,
+                            params: AlgorithmParams) -> MultiviewCost:
+    """Multi-view cost with *traced* per-source warp factors — the
+    view-sharded batch path (sources pre-gathered per reference view).
+
+    src_imgs: (S, H, W); A: (S, 3, 3); b: (S, 3); src_ids: (S,) int32
+    original view ids for best_view reporting; src_valid: (S,) bool mask
+    for padded source slots (invalid slots cost MAXCOST).
+    """
+    S = src_imgs.shape[0]
+    costs = []
+    for s in range(S):
+        c = pm_cost_ab(src_imgs[s], A[s], b[s], normal, d, stats, params)
+        costs.append(jnp.where(src_valid[s], c, MAXCOST))
+    return aggregate_view_costs(jnp.stack(costs, axis=0), src_ids, params)
+
+
+def aggregate_view_costs(costs: jnp.ndarray, ids: jnp.ndarray,
+                         params: AlgorithmParams) -> MultiviewCost:
+    """Best-n aggregation over the leading view axis (pmCostMultiview_cu,
+    gipuma.cu:455-518): cost = mean of best min(n_best, #valid) view
+    costs; ratio = best/second; best_view = argmin view id (-1 if none
+    valid)."""
+    V = costs.shape[0]
     sorted_costs = jnp.sort(costs, axis=0)
     num_valid = jnp.sum((costs < MAXCOST).astype(jnp.int32), axis=0)
     num_best = jnp.minimum(num_valid, params.n_best)
@@ -195,7 +232,6 @@ def multiview_cost(src_imgs: jnp.ndarray, view_ids: Sequence[int],
     ratio = jnp.where(num_best > 0, sorted_costs[0] / second, 0.0)
 
     argmin = jnp.argmin(costs, axis=0)
-    ids = jnp.asarray(list(view_ids), jnp.int32)
     best_view = jnp.where(num_best > 0, ids[argmin], -1)
     return MultiviewCost(cost=cost, best_view=best_view, ratio=ratio)
 

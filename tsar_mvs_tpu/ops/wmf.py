@@ -1,0 +1,252 @@
+"""Weighted median filters over the plane field.
+
+Rebuild of the reference's two WMF kernels (gipuma.cu:1294-1698):
+
+* `wmf_mark_outliers` (gipuma_WMF, :1499-1698): coarse-to-fine passes
+  (radius 80/2^i, sample gap 16/2^i, i = 0..3) that compute the
+  bilateral weighted median plane from reliable (scale==1) neighbors and
+  mark a pixel unreliable when the median plane's disparity at the pixel
+  drifts more than 24/2^i from the current plane. It only writes the
+  reliability mask, not the planes.
+* `wmf_fill` (gipuma_WMF_Final, :1294-1497): fine passes (radius 5*2^i,
+  gap 2^i, i = 0..5) that *fill* still-unreliable textured pixels with
+  the weighted median plane when at least 32/2^i reliable samples exist.
+
+The per-pixel insertion sorts over <=121 gathered samples become
+`jax.lax.sort` with the weight (and donor offset index) carried as
+payload; the sample grid is a static stencil, so everything is shifts +
+sorts — no gathers. Row-chunking bounds the (samples, rows, W)
+intermediate so full-resolution images fit in memory.
+
+Weighted-median semantics match the reference exactly: components
+(nx, ny, nz) take independent weighted medians; disparity's weighted
+median selects a *donor pixel* whose depth re-anchors the median plane
+(gipuma.cu:1651-1667).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from tsar_mvs_tpu import geometry as geo
+from tsar_mvs_tpu.config import AlgorithmParams
+from tsar_mvs_tpu.ops.checkerboard import shift_const
+
+
+def sample_offsets(radius: int, gap: int) -> list[tuple[int, int]]:
+    """(dx, dy) grid: i, j in [-radius, radius] step gap
+    (gipuma.cu:1541-1570 loop)."""
+    rng = list(range(-radius, radius + 1, gap))
+    return [(i, j) for i in rng for j in rng]
+
+
+class _MedianResult(NamedTuple):
+    med_nx: jnp.ndarray
+    med_ny: jnp.ndarray
+    med_nz: jnp.ndarray
+    donor_idx: jnp.ndarray   # (H, W) int32 index into the offset table
+    donor_disp: jnp.ndarray  # (H, W) disparity of the weighted-median donor
+    num: jnp.ndarray         # (H, W) int32 count of valid samples
+
+
+def _weighted_median(key: jnp.ndarray, weight: jnp.ndarray,
+                     payload: jnp.ndarray | None = None):
+    """Weighted median along axis 0. Invalid samples must carry weight 0
+    and key +inf. Returns (median_key, median_payload?)."""
+    operands = [key, weight] if payload is None else [key, weight, payload]
+    sorted_ops = jax.lax.sort(operands, dimension=0, num_keys=1)
+    s_key, s_w = sorted_ops[0], sorted_ops[1]
+    csum = jnp.cumsum(s_w, axis=0)
+    half = csum[-1] * 0.5
+    # First index with cumulative weight >= half (wAcc >= wSum/2).
+    reached = csum >= half[None]
+    idx = jnp.argmax(reached, axis=0)
+    med = jnp.take_along_axis(s_key, idx[None], axis=0)[0]
+    if payload is None:
+        return med
+    med_p = jnp.take_along_axis(sorted_ops[2], idx[None], axis=0)[0]
+    return med, med_p
+
+
+def _gather_samples(gray: jnp.ndarray, disp: jnp.ndarray,
+                    normal: jnp.ndarray, reliable: jnp.ndarray,
+                    offsets, spatial_div: float, sigma_spatial: float,
+                    sigma_color: float):
+    """Stack shifted samples: returns (weights, disp_s, nx_s, ny_s, nz_s)
+    each (O, H, W); invalid samples get weight 0."""
+    inv_ss = 1.0 / (sigma_spatial * sigma_spatial)
+    inv_sc = 1.0 / (sigma_color * sigma_color)
+    ws, ds, nxs, nys, nzs = [], [], [], [], []
+    for (dx, dy) in offsets:
+        ok = shift_const(reliable.astype(jnp.float32), dy, dx, 0.0) > 0.5
+        g = shift_const(gray, dy, dx, 0.0)
+        spatial = math.sqrt(dx * dx + dy * dy) / spatial_div
+        w = jnp.exp(-spatial * inv_ss) * jnp.exp(-jnp.abs(g - gray) * inv_sc)
+        ws.append(jnp.where(ok, w, 0.0))
+        ds.append(shift_const(disp, dy, dx, jnp.inf))
+        nxs.append(shift_const(normal[..., 0], dy, dx, jnp.inf))
+        nys.append(shift_const(normal[..., 1], dy, dx, jnp.inf))
+        nzs.append(shift_const(normal[..., 2], dy, dx, jnp.inf))
+    stack = lambda xs: jnp.stack(xs, axis=0)
+    return (stack(ws), stack(ds), stack(nxs), stack(nys), stack(nzs))
+
+
+def _median_plane(gray: jnp.ndarray, disp: jnp.ndarray, normal: jnp.ndarray,
+                  reliable: jnp.ndarray, offsets, spatial_div: float,
+                  sigma_spatial: float, sigma_color: float) -> _MedianResult:
+    w, d_s, nx_s, ny_s, nz_s = _gather_samples(
+        gray, disp, normal, reliable, offsets, spatial_div, sigma_spatial,
+        sigma_color)
+    valid = w > 0.0
+    num = jnp.sum(valid.astype(jnp.int32), axis=0)
+    # Invalid keys already +inf (weight 0 keeps them out of the median).
+    key_sel = jnp.where(valid, d_s, jnp.inf)
+    O = len(offsets)
+    payload = jnp.broadcast_to(
+        jnp.arange(O, dtype=jnp.int32)[:, None, None], key_sel.shape)
+    med_d, donor = _weighted_median(key_sel, w, payload)
+    med_nx = _weighted_median(jnp.where(valid, nx_s, jnp.inf), w)
+    med_ny = _weighted_median(jnp.where(valid, ny_s, jnp.inf), w)
+    med_nz = _weighted_median(jnp.where(valid, nz_s, jnp.inf), w)
+    return _MedianResult(med_nx=med_nx, med_ny=med_ny, med_nz=med_nz,
+                         donor_idx=donor, donor_disp=med_d, num=num)
+
+
+def _median_plane_chunked(gray, disp, normal, reliable, offsets,
+                          spatial_div, sigma_spatial, sigma_color,
+                          radius: int, chunk_rows: int) -> _MedianResult:
+    """Row-chunked median computation: bounds the (O, rows, W) stack."""
+    H, W = gray.shape
+    if H <= chunk_rows:
+        return _median_plane(gray, disp, normal, reliable, offsets,
+                             spatial_div, sigma_spatial, sigma_color)
+    pad = radius
+    n_chunks = -(-H // chunk_rows)
+    H_pad = n_chunks * chunk_rows
+
+    def pad_rows(a, fill):
+        return jnp.pad(a, [(pad, pad + H_pad - H)] + [(0, 0)] * (a.ndim - 1),
+                       constant_values=fill)
+
+    g_p = pad_rows(gray, 0.0)
+    d_p = pad_rows(disp, jnp.inf)
+    n_p = pad_rows(normal, jnp.inf)
+    r_p = pad_rows(reliable, False)
+
+    def body(ci):
+        start = ci * chunk_rows
+        rows = chunk_rows + 2 * pad
+        g = jax.lax.dynamic_slice_in_dim(g_p, start, rows, 0)
+        dd = jax.lax.dynamic_slice_in_dim(d_p, start, rows, 0)
+        nn = jax.lax.dynamic_slice_in_dim(n_p, start, rows, 0)
+        rr = jax.lax.dynamic_slice_in_dim(r_p, start, rows, 0)
+        res = _median_plane(g, dd, nn, rr, offsets, spatial_div,
+                            sigma_spatial, sigma_color)
+        return jax.tree.map(lambda a: a[pad:pad + chunk_rows], res)
+
+    out = jax.lax.map(body, jnp.arange(n_chunks))
+    return jax.tree.map(
+        lambda a: a.reshape((H_pad,) + a.shape[2:])[:H], out)
+
+
+def _plane_from_median(med: _MedianResult, offsets, cams: geo.CameraSet,
+                       rays: jnp.ndarray):
+    """Re-anchor the median plane: normalize the component-median normal
+    and set d through the donor pixel's 3-D point (gipuma.cu:1651-1667)."""
+    H, W = med.donor_disp.shape
+    n = jnp.stack([med.med_nx, med.med_ny, med.med_nz], axis=-1)
+    n = geo.normalize(n)
+    off = jnp.asarray([[dx, dy] for (dx, dy) in offsets], jnp.float32)
+    dx = off[:, 0][med.donor_idx]
+    dy = off[:, 1][med.donor_idx]
+    xx = jnp.arange(W, dtype=jnp.float32)[None, :]
+    yy = jnp.arange(H, dtype=jnp.float32)[:, None]
+    px = xx + dx
+    py = yy + dy
+    donor_depth = geo.disparity_depth(cams.f, cams.baseline, med.donor_disp)
+    # ray at donor pixel (K^-1 [px, py, 1]).
+    Kinv = cams.K_inv[0]
+    rx = Kinv[0, 0] * px + Kinv[0, 1] * py + Kinv[0, 2]
+    ry = Kinv[1, 0] * px + Kinv[1, 1] * py + Kinv[1, 2]
+    rz = jnp.ones_like(rx)
+    d = -donor_depth * (n[..., 0] * rx + n[..., 1] * ry + n[..., 2] * rz)
+    return n, d
+
+
+def wmf_mark_outliers(gray: jnp.ndarray, normal: jnp.ndarray,
+                      d: jnp.ndarray, disp: jnp.ndarray,
+                      reliable: jnp.ndarray, iteration: int,
+                      cams: geo.CameraSet, rays: jnp.ndarray,
+                      params: AlgorithmParams,
+                      chunk_rows: int = 256) -> jnp.ndarray:
+    """One gipuma_WMF pass: returns the new reliability mask.
+
+    disp: current per-pixel *disparity* (f*baseline/depth, as lines->depth
+    holds after gipuma_getview). iteration selects the coarse-to-fine
+    schedule: radius 80/2^i, gap 16/2^i, spatial/2^(3-i), drift threshold
+    24/2^i.
+    """
+    po = 2 ** iteration
+    radius, gap = 80 // po, 16 // po
+    repo = 2 ** (3 - iteration)
+    offsets = sample_offsets(radius, gap)
+    med = _median_plane_chunked(gray, disp, normal, reliable, offsets,
+                                float(repo), params.wmf_sigma_spatial,
+                                params.wmf_sigma_color, radius, chunk_rows)
+    n_med, d_med = _plane_from_median(med, offsets, cams, rays)
+
+    H, W = gray.shape
+    xx = jnp.arange(W, dtype=jnp.float32)[None, :]
+    yy = jnp.arange(H, dtype=jnp.float32)[:, None]
+    depth_med = geo.depth_from_plane(cams, n_med, d_med, xx, yy)
+    disp_med = geo.disparity_depth(cams.f, cams.baseline, depth_med)
+    depth_org = geo.depth_from_plane(cams, normal, d, xx, yy)
+    disp_org = geo.disparity_depth(cams.f, cams.baseline, depth_org)
+
+    ths = params.wmf_drift_thr / po
+    keep = jnp.abs(disp_med - disp_org) <= ths
+    return jnp.where(med.num > 0, keep, False)
+
+
+def wmf_fill(gray: jnp.ndarray, normal: jnp.ndarray, d: jnp.ndarray,
+             disp: jnp.ndarray, reliable: jnp.ndarray,
+             textured: jnp.ndarray, iteration: int, cams: geo.CameraSet,
+             rays: jnp.ndarray, params: AlgorithmParams,
+             chunk_rows: int = 256):
+    """One gipuma_WMF_Final pass: fills unreliable *textured* pixels with
+    the weighted-median plane of reliable neighbors when enough samples
+    exist (>= 32/2^i). Returns (normal, d, disp, reliable) updated.
+
+    textured: bool mask of text==1 pixels (non-weak regions).
+    """
+    po = 2 ** iteration
+    radius, gap = 5 * po, po
+    ths = 32 // po
+    offsets = sample_offsets(radius, gap)
+    med = _median_plane_chunked(gray, disp, normal, reliable, offsets,
+                                float(po), params.wmf_sigma_spatial,
+                                params.wmf_sigma_color, radius, chunk_rows)
+    n_med, d_med = _plane_from_median(med, offsets, cams, rays)
+
+    H, W = gray.shape
+    xx = jnp.arange(W, dtype=jnp.float32)[None, :]
+    yy = jnp.arange(H, dtype=jnp.float32)[:, None]
+    depth_med = geo.depth_from_plane(cams, n_med, d_med, xx, yy)
+    disp_med = geo.disparity_depth(cams.f, cams.baseline, depth_med)
+
+    fill = textured & ~reliable & (med.num >= ths)
+    # The reference validates the *disparity* against [min_disparity,
+    # max_disparity] (gipuma.cu:1479-1485).
+    in_range = ((disp_med > params.min_disparity)
+                & (disp_med < params.max_disparity))
+    new_normal = jnp.where(fill[..., None], n_med, normal)
+    new_d = jnp.where(fill, d_med, d)
+    new_disp = jnp.where(fill,
+                         jnp.where(in_range, disp_med,
+                                   params.min_disparity), disp)
+    new_reliable = jnp.where(fill, in_range, reliable)
+    return new_normal, new_d, new_disp, new_reliable

@@ -24,12 +24,18 @@ from tsar_mvs_tpu.utils.scene_io import (CamFile, PairFile, write_cam_file,
 
 @dataclass
 class Rect3D:
-    """A textured 3-D rectangle: origin + two edge vectors."""
+    """A textured 3-D rectangle: origin + two edge vectors.
+
+    flat_patch, when set, marks a (u0, u1, v0, v1) sub-rectangle in the
+    rect's local (u, v) coordinates that renders with constant albedo —
+    a textureless region embedded in a textured surface (the bare-wall
+    case TSAR's weak-region pipeline targets)."""
     origin: np.ndarray   # (3,)
     eu: np.ndarray       # (3,) edge 1
     ev: np.ndarray       # (3,) edge 2
     textured: bool = True
     albedo: float = 0.5
+    flat_patch: tuple[float, float, float, float] | None = None
 
     @property
     def normal(self) -> np.ndarray:
@@ -231,20 +237,19 @@ def make_scene(height: int = 96, width: int = 128, num_views: int = 5,
                   [0, f, height / 2.0],
                   [0, 0, 1.0]])
 
+    wf = max(0.05, min(weak_fraction, 0.9))
+    patch = (0.55, 0.55 + 0.35 * wf * 4, 0.30, 0.30 + 0.30 * wf * 4)
     rects = [
-        # Background: big plane at z≈6, slightly tilted.
+        # Background: big plane at z≈6, slightly tilted, with an embedded
+        # textureless (constant-albedo) patch — the TSAR weak-region case.
         Rect3D(origin=np.array([-8.0, -6.0, 6.5]),
                eu=np.array([16.0, 0.0, 1.2]),
-               ev=np.array([0.0, 12.0, -0.8]), textured=True),
-        # Foreground tilted rectangle.
+               ev=np.array([0.0, 12.0, -0.8]), textured=True,
+               albedo=0.62, flat_patch=patch),
+        # Foreground tilted rectangle (adds a depth discontinuity).
         Rect3D(origin=np.array([-1.6, -1.4, 4.2]),
                eu=np.array([1.8, 0.0, 0.7]),
                ev=np.array([0.0, 1.6, -0.3]), textured=True),
-        # Textureless rectangle (constant albedo).
-        Rect3D(origin=np.array([0.2, -0.2, 4.8]),
-               eu=np.array([2.2 * weak_fraction * 4, 0.0, 0.35]),
-               ev=np.array([0.0, 1.8 * weak_fraction * 4, 0.2]),
-               textured=False, albedo=0.62),
     ]
 
     target = np.array([0.0, 0.0, 5.0])
@@ -292,10 +297,16 @@ def make_scene(height: int = 96, width: int = 128, num_views: int = 5,
                 val = 0.15 + 0.7 * value_noise(X, seed=seed)
             else:
                 val = np.full(s.shape, rect.albedo)
+            in_patch = np.zeros(s.shape, bool)
+            if rect.flat_patch is not None:
+                u0, u1, v0, v1 = rect.flat_patch
+                in_patch = (u >= u0) & (u <= u1) & (w_ >= v0) & (w_ <= v1)
+                val = np.where(in_patch, rect.albedo, val)
             best_s = np.where(valid, s, best_s)
             tex_val = np.where(valid, val, tex_val)
             hit_n = np.where(valid[..., None], n, hit_n)
-            hit_weak = np.where(valid, not rect.textured, hit_weak)
+            hit_weak = np.where(valid, (not rect.textured) | in_patch,
+                                hit_weak)
         # Camera-frame depth = z component of R X + t.
         X = C + best_s[..., None] * dirs
         z = (np.einsum("ij,hwj->hwi", R, X) + t)[..., 2]
