@@ -1,0 +1,177 @@
+"""Command-line interface.
+
+Two surfaces:
+* `tsar gipuma ...` — flag-compatible with the reference binary's CLI
+  (getParametersFromCommandLine, main.cpp:708-1009) so the reference's
+  scene scripts translate 1:1: positional image names, `-mslp_folder`,
+  `-images_folder`, `-krt_file`, `-output_folder`, `--cam_scale=`,
+  `--iterations=`, `--blocksize=`, `--cost_gamma=`, `--cost_comb=`,
+  `--n_best=`, `--min_angle=`, `--max_angle=`, `-no_display`.
+* `tsar scene/view/fuse/synth/bench` — idiomatic subcommands for whole
+  scenes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+from pathlib import Path
+
+
+def _alg_params(ns) -> "AlgorithmParams":
+    from tsar_mvs_tpu.config import AlgorithmParams
+    kw = {}
+    if getattr(ns, "blocksize", None):
+        kw["box_hsize"] = kw["box_vsize"] = ns.blocksize
+    for flag, field in (("iterations", "iterations"),
+                        ("cost_gamma", "gamma"), ("n_best", "n_best"),
+                        ("cam_scale", "cam_scale"),
+                        ("min_angle", "min_angle"),
+                        ("max_angle", "max_angle"),
+                        ("max_views", "max_views")):
+        v = getattr(ns, flag, None)
+        if v is not None:
+            kw[field] = v
+    return AlgorithmParams(**kw)
+
+
+def cmd_gipuma(argv: list[str]) -> int:
+    """Reference-CLI-compatible per-view run: first positional image is
+    the reference view, the rest are sources (scripts/courtyard.sh:44)."""
+    p = argparse.ArgumentParser(prog="tsar gipuma", add_help=False)
+    p.add_argument("images", nargs="*")
+    p.add_argument("-mslp_folder", dest="mslp_folder", default=".")
+    p.add_argument("-images_folder", dest="images_folder", default=None)
+    p.add_argument("-krt_file", dest="krt_file", default=None)
+    p.add_argument("-output_folder", dest="output_folder", default=None)
+    p.add_argument("-no_display", action="store_true")
+    p.add_argument("--cam_scale", type=float, default=1.0)
+    p.add_argument("--iterations", type=int, default=8)
+    p.add_argument("--blocksize", type=int, default=11)
+    p.add_argument("--cost_gamma", type=float, default=10.0)
+    p.add_argument("--cost_comb", default="best_n")
+    p.add_argument("--n_best", type=int, default=1)
+    p.add_argument("--min_angle", type=float, default=5.0)
+    p.add_argument("--max_angle", type=float, default=45.0)
+    p.add_argument("--max_views", type=int, default=14)
+    ns, _unknown = p.parse_known_args(argv)
+
+    from tsar_mvs_tpu import pipeline
+    scene = pipeline.load_scene(Path(ns.mslp_folder))
+    ref_name = Path(ns.images[0]).stem if ns.images else scene.names[0]
+    ref_idx = scene.names.index(ref_name)
+    params = _alg_params(ns)
+    out_dir = None
+    if ns.output_folder:
+        out_dir = Path(ns.output_folder) / ref_name
+    pipeline.process_view(scene, ref_idx, params, out_dir=out_dir)
+    return 0
+
+
+def cmd_scene(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="tsar scene")
+    p.add_argument("scene_dir")
+    p.add_argument("--iterations", type=int, default=None)
+    p.add_argument("--blocksize", type=int, default=None)
+    p.add_argument("--cam_scale", type=float, default=None)
+    p.add_argument("--max_views", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-ply", action="store_true")
+    p.add_argument("--fuse", action="store_true",
+                   help="run fusion after all views")
+    ns = p.parse_args(argv)
+    from tsar_mvs_tpu import pipeline
+    params = _alg_params(ns)
+    pipeline.process_scene(ns.scene_dir, params, seed=ns.seed,
+                           write_ply=not ns.no_ply)
+    if ns.fuse:
+        out = pipeline.fuse_scene(ns.scene_dir)
+        print(f"fused cloud: {out}")
+    return 0
+
+
+def cmd_view(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="tsar view")
+    p.add_argument("scene_dir")
+    p.add_argument("ref", help="view index or name")
+    p.add_argument("--iterations", type=int, default=None)
+    p.add_argument("--blocksize", type=int, default=None)
+    ns = p.parse_args(argv)
+    from tsar_mvs_tpu import pipeline
+    scene = pipeline.load_scene(ns.scene_dir)
+    ref_idx = (int(ns.ref) if ns.ref.isdigit()
+               else scene.names.index(ns.ref))
+    pipeline.process_view(scene, ref_idx, _alg_params(ns))
+    return 0
+
+
+def cmd_fuse(argv: list[str]) -> int:
+    """Fusion with the reference Fusion.exe flag names (x/1.sh:28-30)."""
+    p = argparse.ArgumentParser(prog="tsar fuse")
+    p.add_argument("scene_dir")
+    p.add_argument("--num_consistent", type=int, default=1)
+    p.add_argument("--reproj_error", type=float, default=2.0)
+    p.add_argument("--depth_diff", type=float, default=0.01)
+    p.add_argument("--angle", type=float, default=15.0)
+    p.add_argument("--used_list", type=int, default=1)
+    ns = p.parse_args(argv)
+    from tsar_mvs_tpu import pipeline
+    from tsar_mvs_tpu.config import FusionParams
+    fp = FusionParams(depth_diff=ns.depth_diff,
+                      normal_thresh_deg=ns.angle,
+                      num_consistent=ns.num_consistent,
+                      reproj_error=ns.reproj_error,
+                      used_list=bool(ns.used_list))
+    out = pipeline.fuse_scene(ns.scene_dir, fp)
+    print(f"fused cloud: {out}")
+    return 0
+
+
+def cmd_synth(argv: list[str]) -> int:
+    p = argparse.ArgumentParser(prog="tsar synth")
+    p.add_argument("out_dir")
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--views", type=int, default=8)
+    p.add_argument("--seed", type=int, default=0)
+    ns = p.parse_args(argv)
+    from tsar_mvs_tpu.utils.synthetic import make_scene
+    scene = make_scene(height=ns.height, width=ns.width,
+                       num_views=ns.views, seed=ns.seed)
+    root = scene.export(ns.out_dir)
+    print(f"synthetic scene written to {root}")
+    return 0
+
+
+def cmd_bench(argv: list[str]) -> int:
+    import subprocess
+    return subprocess.call([sys.executable,
+                            str(Path(__file__).resolve().parents[1]
+                                / "bench.py")] + argv)
+
+
+COMMANDS = {
+    "gipuma": cmd_gipuma,
+    "scene": cmd_scene,
+    "view": cmd_view,
+    "fuse": cmd_fuse,
+    "synth": cmd_synth,
+    "bench": cmd_bench,
+}
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv or argv[0] in ("-h", "--help"):
+        print("usage: tsar {" + ",".join(COMMANDS) + "} ...")
+        return 0
+    cmd = argv[0]
+    if cmd not in COMMANDS:
+        # Bare reference-style invocation: treat as gipuma.
+        return cmd_gipuma(argv)
+    return COMMANDS[cmd](argv[1:])
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -350,3 +350,119 @@ def run_patchmatch_many(key: jax.Array, imgs: jnp.ndarray,
             cams, params, iterations)
 
     return jax.lax.map(one, jnp.arange(R))
+
+
+# ---------------------------------------------------------------------------
+# Coarse-to-fine pyramid PatchMatch — the prior generator.
+#
+# The reference's prior stage APD is itself a multi-scale edge-aware
+# PatchMatch (SURVEY.md §2 #28: per-view depth_1..14.jpg / edges_0..3
+# intermediates); running our own matcher coarse-to-fine subsumes its
+# role: at coarse scales the NCC window spans textureless regions plus
+# their textured surround, so their interiors get approximately-correct
+# planes that survive to full resolution as the prior TSAR refines.
+# ---------------------------------------------------------------------------
+
+def downsample_2x(img: jnp.ndarray) -> jnp.ndarray:
+    """2x area-average downsample (per-view, device-side)."""
+    H2 = (img.shape[-2] // 2) * 2
+    W2 = (img.shape[-1] // 2) * 2
+    img = img[..., :H2, :W2]
+    return 0.25 * (img[..., 0::2, 0::2] + img[..., 0::2, 1::2]
+                   + img[..., 1::2, 0::2] + img[..., 1::2, 1::2])
+
+
+def upsample_state_2x(state: PlaneState, cams_fine: geo.CameraSet,
+                      height: int, width: int) -> PlaneState:
+    """Lift a coarse plane field to the next finer scale: nearest-repeat
+    the normals and the induced *depth* (scale-invariant), then rebuild d
+    against the finer intrinsics."""
+    Hc, Wc = state.shape
+    depth_c = depth_map_with_f(state, cams_fine, coarse_shape=(Hc, Wc))
+    def up(a):
+        a = jnp.repeat(jnp.repeat(a, 2, axis=0), 2, axis=1)
+        a = a[:height, :width]
+        pad_h = height - a.shape[0]
+        pad_w = width - a.shape[1]
+        if pad_h or pad_w:
+            a = jnp.pad(a, [(0, pad_h), (0, pad_w)]
+                        + [(0, 0)] * (a.ndim - 2), mode="edge")
+        return a
+    normal = jnp.stack([up(state.normal[..., k]) for k in range(3)],
+                       axis=-1)
+    depth = up(depth_c)
+    rays = geo.pixel_rays(cams_fine, height, width)
+    d = geo.plane_d_from_depth(normal, rays, depth)
+    return PlaneState(normal=normal, d=d,
+                      cost=up(state.cost), ratio=up(state.ratio),
+                      best_view=up(state.best_view))
+
+
+def depth_map_with_f(state: PlaneState, cams_fine: geo.CameraSet,
+                     coarse_shape: tuple[int, int]) -> jnp.ndarray:
+    """Depth of a coarse state using coarse intrinsics (K/2): fx, cx, cy
+    halve with the image (scale_K semantics)."""
+    Hc, Wc = coarse_shape
+    xx = jnp.arange(Wc, dtype=jnp.float32)[None, :]
+    yy = jnp.arange(Hc, dtype=jnp.float32)[:, None]
+    f_c = cams_fine.f * 0.5
+    cx_c = cams_fine.cx * 0.5
+    cy_c = cams_fine.cy * 0.5
+    denom = (state.normal[..., 0] * (xx - cx_c)
+             + state.normal[..., 1] * (yy - cy_c) * cams_fine.alpha
+             + state.normal[..., 2] * f_c)
+    return -state.d * f_c / denom
+
+
+def run_patchmatch_pyramid(key: jax.Array, imgs: jnp.ndarray,
+                           view_ids: tuple[int, ...], P_list,
+                           params: AlgorithmParams,
+                           levels: tuple[int, ...] = (4, 2, 1),
+                           iterations_per_level: tuple[int, ...] | None
+                           = None,
+                           depth_min: float | None = None,
+                           depth_max: float | None = None) -> PlaneState:
+    """Coarse-to-fine PatchMatch over `levels` (downsample factors,
+    coarse to fine, last must be 1). Returns the full-resolution state.
+
+    P_list: raw (unscaled) projection matrices in pipeline order
+    (index 0 = reference)."""
+    import dataclasses
+    assert levels[-1] == 1
+    if iterations_per_level is None:
+        iterations_per_level = tuple([params.iterations] * len(levels))
+    dmin = params.depth_min if depth_min is None else depth_min
+    dmax = params.depth_max if depth_max is None else depth_max
+
+    # Image pyramids (device-side).
+    pyr = {1: imgs}
+    fac = 1
+    cur = imgs
+    while fac < max(levels):
+        cur = downsample_2x(cur)
+        fac *= 2
+        pyr[fac] = cur
+
+    state = None
+    for li, s in enumerate(levels):
+        cams_s = geo.build_camera_set(P_list,
+                                      cam_scale=float(s) * params.cam_scale,
+                                      depth_min=dmin, depth_max=dmax)
+        params_s = dataclasses.replace(params).with_depth_range(
+            dmin, dmax, float(cams_s.f))
+        imgs_s = pyr[s]
+        if state is not None:
+            Hs, Ws = imgs_s.shape[1:]
+            state = upsample_state_2x(state, cams_s, Hs, Ws)
+            # Re-evaluate the lifted planes' costs at this scale.
+            stats = ncc.precompute_ref_stats(imgs_s[0], cams_s, params_s)
+            mv = ncc.multiview_cost(imgs_s, view_ids, cams_s,
+                                    state.normal, state.d, stats, params_s)
+            state = PlaneState(normal=state.normal, d=state.d,
+                               cost=mv.cost, ratio=mv.ratio,
+                               best_view=mv.best_view)
+        state = run_patchmatch(jax.random.fold_in(key, li), imgs_s,
+                               view_ids, cams_s, params_s,
+                               iterations=iterations_per_level[li],
+                               init_state=state)
+    return state

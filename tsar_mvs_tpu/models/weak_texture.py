@@ -42,6 +42,11 @@ def roberts(img: np.ndarray) -> np.ndarray:
     """Roberts cross edge magnitude (main.cpp:214-241): interior
     sqrt((I(y,x)-I(y+1,x+1))^2 + (I(y+1,x)-I(y,x+1))^2), borders forced to
     edge strength 100, saturated to uint8."""
+    from tsar_mvs_tpu.utils import native
+    if img.dtype == np.uint8 or np.array_equal(img, np.rint(img)):
+        out_native = native.roberts(img)
+        if out_native is not None:
+            return out_native
     img = img.astype(np.float64)
     out = np.full(img.shape, 100.0)
     d1 = img[:-1, :-1] - img[1:, 1:]
@@ -57,9 +62,14 @@ def connect(edges: np.ndarray, weak_text_num: int
     main.cpp:242-363): edge pixels -> label 0; components numbered 1.. in
     raster first-encounter order. Returns (labels, counts, weak_labels)
     where weak_labels have count > weak_text_num."""
-    mask = edges == 0
-    raw, _n = ndimage.label(mask, structure=_FOUR_CONN)
-    labels = _relabel_raster_order(raw)
+    from tsar_mvs_tpu.utils import native
+    res = native.cc_label(edges)
+    if res is not None:
+        labels, _n = res
+    else:
+        mask = edges == 0
+        raw, _n = ndimage.label(mask, structure=_FOUR_CONN)
+        labels = _relabel_raster_order(raw)
     counts = np.bincount(labels.ravel())
     weak = [int(lab) for lab in range(1, counts.size)
             if counts[lab] > weak_text_num]

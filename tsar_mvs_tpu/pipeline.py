@@ -1,0 +1,249 @@
+"""Scene/view pipeline orchestration with the reference's on-disk contract.
+
+Directory layout consumed/produced (reference: main.cpp:1352-1376,
+1457-1474, 1825-1843; x/*.sh):
+
+    <scene>/images/<name>.png|.pfm       input views
+    <scene>/cams/<name>_cam.txt          MVSNet-style cameras + depth range
+    <scene>/pair.txt                     ranked source views per reference
+    <scene>/APD/<name>/depths_geom.dmb   optional prior depth (APD contract)
+    <scene>/APD/<name>/normals.dmb       optional prior normals
+    <scene>/APD/<name>/weak.png          optional reliability seed
+    <scene>/results/<name>/TSAR_disp.dmb      output metric depth
+    <scene>/results/<name>/TSAR_normals.dmb   output world-frame normals
+    <scene>/results/<name>/TSAR_model.ply     per-view point cloud
+    <scene>/results/<name>/TSAR_results.txt   runtime log
+    <scene>/results/TSAR_fused.ply            fused scene cloud
+
+When no APD prior exists the pipeline runs its own full random-init
+PatchMatch (the reference contains the same matcher with its driver loop
+commented out, gipuma.cu:1744-1754 — BASELINE.json's north star makes it
+first-class here).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tsar_mvs_tpu import geometry as geo
+from tsar_mvs_tpu.config import AlgorithmParams, FusionParams
+from tsar_mvs_tpu.models import fusion as fusion_mod
+from tsar_mvs_tpu.models import patchmatch as pm
+from tsar_mvs_tpu.models import tsar
+from tsar_mvs_tpu.models import weak_texture as wt
+from tsar_mvs_tpu.utils import dmb, ply, scene_io
+from tsar_mvs_tpu.utils.pfm import read_pfm
+from tsar_mvs_tpu.utils.synthetic import read_png_gray
+
+
+@dataclass
+class Scene:
+    root: Path
+    names: list[str]               # view names in id order
+    images: np.ndarray             # (V, H, W) float32 grayscale
+    P: np.ndarray                  # (V, 3, 4) world-frame projections
+    depth_min: float
+    depth_max: float
+    pair: scene_io.PairFile
+
+
+def load_scene(root: str | Path) -> Scene:
+    root = Path(root)
+    img_dir = root / "images"
+    names = sorted({p.stem for p in img_dir.iterdir()
+                    if p.suffix in (".png", ".pfm")})
+    images = []
+    P_list = []
+    depth_min = depth_max = None
+    for name in names:
+        png = img_dir / f"{name}.png"
+        pfm = img_dir / f"{name}.pfm"
+        if pfm.exists():
+            img = read_pfm(pfm)
+            if img.ndim == 3:
+                img = img.mean(axis=-1)
+        else:
+            img = read_png_gray(png)
+        images.append(np.asarray(img, np.float32))
+        cam = scene_io.read_cam_file(root / "cams" / f"{name}_cam.txt")
+        P_list.append(cam.P)
+        if depth_min is None:
+            depth_min, depth_max = cam.depth_min, cam.depth_max
+    pair_path = root / "pair.txt"
+    pair = (scene_io.read_pair_file(pair_path) if pair_path.exists()
+            else scene_io.PairFile())
+    return Scene(root=root, names=names, images=np.stack(images),
+                 P=np.stack(P_list), depth_min=float(depth_min),
+                 depth_max=float(depth_max), pair=pair)
+
+
+def view_image_order(scene: Scene, ref_idx: int,
+                     max_views: int) -> tuple[list[int], tuple[int, ...]]:
+    """Per-reference image ordering: [ref] + source views from pair.txt
+    (dataset ids), or all others by distance when pair.txt is absent.
+    Returns (image ids in pipeline order, source positions 1..S)."""
+    if scene.pair.neighbors:
+        src = scene.pair.source_ids(ref_idx, max_views)
+    else:
+        src = [i for i in range(len(scene.names)) if i != ref_idx]
+        src = src[:max_views]
+    order = [ref_idx] + list(src)
+    view_ids = tuple(range(1, len(order)))
+    return order, view_ids
+
+
+def default_params_for_scene(scene: Scene,
+                             params: AlgorithmParams | None = None
+                             ) -> AlgorithmParams:
+    params = params or AlgorithmParams()
+    K, _, _ = geo.decompose_projection(scene.P[0])
+    f = K[0, 0] / params.cam_scale
+    return params.with_depth_range(scene.depth_min, scene.depth_max, f)
+
+
+def process_view(scene: Scene, ref_idx: int,
+                 params: AlgorithmParams | None = None,
+                 key: jax.Array | None = None,
+                 out_dir: str | Path | None = None,
+                 pm_iterations: int | None = None,
+                 write_ply: bool = True) -> tsar.TsarResult:
+    """Full per-view TSAR run (texture -> [prior|PatchMatch] -> refine ->
+    artifacts), mirroring runGipuma (main.cpp:1268-1861)."""
+    t0 = time.time()
+    key = jax.random.PRNGKey(0) if key is None else key
+    params = default_params_for_scene(scene, params)
+
+    order, view_ids = view_image_order(scene, ref_idx, params.max_views)
+    imgs = scene.images[order]
+    cams = geo.build_camera_set([scene.P[i] for i in order],
+                                cam_scale=params.cam_scale,
+                                depth_min=scene.depth_min,
+                                depth_max=scene.depth_max)
+
+    name = scene.names[ref_idx]
+    weak = wt.detect_weak_texture(scene.images[ref_idx], params)
+
+    prior_dir = scene.root / "APD" / name
+    imgs_j = jnp.asarray(imgs, jnp.float32)
+    stats_rays = geo.pixel_rays(cams, *imgs.shape[1:])
+    reliable_seed = None
+    if (prior_dir / "depths_geom.dmb").exists():
+        # APD prior path (main.cpp:1457-1514): lift prior depth/normals,
+        # seed reliability from weak.png.
+        prior_depth = jnp.asarray(dmb.read_dmb(prior_dir
+                                               / "depths_geom.dmb"))
+        prior_normal = jnp.asarray(dmb.read_dmb(prior_dir / "normals.dmb"))
+        state = pm.state_from_prior(prior_depth, prior_normal, cams,
+                                    _stats_stub(stats_rays))
+        weak_png = prior_dir / "weak.png"
+        if weak_png.exists():
+            seed_img = read_png_gray(weak_png)
+            reliable_seed = seed_img > 0
+        iters = 0 if pm_iterations is None else pm_iterations
+        if iters > 0:
+            state = pm.run_patchmatch(key, imgs_j, view_ids, cams, params,
+                                      iterations=iters, init_state=state)
+    else:
+        # No APD prior: generate our own with coarse-to-fine PatchMatch
+        # (subsumes APD's multi-scale role, SURVEY.md §2 #28).
+        iters = params.iterations if pm_iterations is None else pm_iterations
+        H = imgs.shape[1]
+        levels = (4, 2, 1) if H >= 1024 else (2, 1)
+        state = pm.run_patchmatch_pyramid(
+            key, imgs_j, view_ids, [scene.P[i] for i in order], params,
+            levels=levels,
+            iterations_per_level=tuple([iters] * len(levels)),
+            depth_min=scene.depth_min, depth_max=scene.depth_max)
+
+    result = tsar.tsar_refine(imgs, cams, view_ids, params, state, weak,
+                              reliable_seed, jax.random.fold_in(key, 999))
+
+    if out_dir is None:
+        out_dir = scene.root / "results" / name
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    dmb.write_dmb(out_dir / "TSAR_disp.dmb", result.depth)
+    dmb.write_dmb(out_dir / "TSAR_normals.dmb", result.normal_world)
+    if write_ply:
+        cams_world = geo.build_camera_set([scene.P[i] for i in order],
+                                          cam_scale=params.cam_scale,
+                                          rebase=False)
+        write_view_ply(out_dir / "TSAR_model.ply", result,
+                       scene.images[ref_idx], cams_world)
+    runtime = time.time() - t0
+    (out_dir / "TSAR_results.txt").open("a").write(
+        f"Total runtime: {runtime:.3f} sec ( {runtime / 60.0:.3f} min)\n")
+    return result
+
+
+def _stats_stub(rays):
+    """Minimal stats carrier for state_from_prior (only .rays is used)."""
+    class _S:
+        pass
+    s = _S()
+    s.rays = rays
+    return s
+
+
+def write_view_ply(path: Path, result: tsar.TsarResult, gray: np.ndarray,
+                   cams_world: geo.CameraSet) -> None:
+    """Per-view point cloud in the world frame (storePlyFileBinary
+    contract, displayUtils.h:78-159; every pixel emits a vertex, invalid
+    depths become the origin)."""
+    H, W = result.depth.shape
+    xx, yy = np.meshgrid(np.arange(W, dtype=np.float32),
+                         np.arange(H, dtype=np.float32))
+    X = np.asarray(geo.backproject(cams_world, 0, jnp.asarray(xx),
+                                   jnp.asarray(yy),
+                                   jnp.asarray(result.depth)))
+    bad = ~np.isfinite(X).all(axis=-1) | (result.depth <= 0)[..., None][..., 0]
+    X = np.where(bad[..., None], 0.0, X)
+    ply.write_ply(path, X.reshape(-1, 3),
+                  result.normal_world.reshape(-1, 3),
+                  np.clip(gray, 0, 255).astype(np.uint8).reshape(-1))
+
+
+def process_scene(scene_root: str | Path,
+                  params: AlgorithmParams | None = None,
+                  seed: int = 0, pm_iterations: int | None = None,
+                  write_ply: bool = True) -> list[tsar.TsarResult]:
+    """Run every reference view of a scene (the scripts/*.sh loop)."""
+    scene = load_scene(scene_root)
+    results = []
+    for ref_idx in range(len(scene.names)):
+        key = jax.random.fold_in(jax.random.PRNGKey(seed), ref_idx)
+        results.append(process_view(scene, ref_idx, params, key,
+                                    pm_iterations=pm_iterations,
+                                    write_ply=write_ply))
+    return results
+
+
+def fuse_scene(scene_root: str | Path,
+               fp: FusionParams | None = None,
+               params: AlgorithmParams | None = None) -> Path:
+    """Fuse per-view TSAR outputs into a scene point cloud (x/*.sh +
+    Fusion.exe contract)."""
+    scene = load_scene(scene_root)
+    fp = fp or FusionParams()
+    params = default_params_for_scene(scene, params)
+    depths, normals = [], []
+    for name in scene.names:
+        d = dmb.read_dmb(scene.root / "results" / name / "TSAR_disp.dmb")
+        n = dmb.read_dmb(scene.root / "results" / name
+                         / "TSAR_normals.dmb")
+        depths.append(d)
+        normals.append(n)
+    cams_world = geo.build_camera_set(list(scene.P),
+                                      cam_scale=params.cam_scale,
+                                      rebase=False)
+    cloud = fusion_mod.fuse(np.stack(depths), np.stack(normals),
+                            cams_world, scene.images, fp)
+    out = scene.root / "results" / "TSAR_fused.ply"
+    ply.write_ply(out, cloud.points, cloud.normals, cloud.colors)
+    return out

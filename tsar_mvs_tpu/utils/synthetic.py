@@ -299,9 +299,19 @@ def make_scene(height: int = 96, width: int = 128, num_views: int = 5,
                 val = np.full(s.shape, rect.albedo)
             in_patch = np.zeros(s.shape, bool)
             if rect.flat_patch is not None:
+                # Soft-edged textureless patch: texture amplitude ramps to
+                # zero toward the core (real weak regions fade gradually,
+                # which is what gives TSAR's region RANSAC a halo of
+                # matchable, coplanar support around the flat core).
                 u0, u1, v0, v1 = rect.flat_patch
-                in_patch = (u >= u0) & (u <= u1) & (w_ >= v0) & (w_ <= v1)
-                val = np.where(in_patch, rect.albedo, val)
+                margin = 0.25
+                du = (np.minimum(u - u0, u1 - u) / (u1 - u0)) / margin
+                dv = (np.minimum(w_ - v0, v1 - w_) / (v1 - v0)) / margin
+                inside = np.minimum(du, dv)      # <0 outside, >=1 core
+                tex_w = np.clip(1.0 - inside, 0.0, 1.0)  # texture weight
+                tex_w = tex_w * tex_w * (3 - 2 * tex_w)
+                val = val * tex_w + rect.albedo * (1.0 - tex_w)
+                in_patch = inside > 0.55  # flat core (texture < ~3%)
             best_s = np.where(valid, s, best_s)
             tex_val = np.where(valid, val, tex_val)
             hit_n = np.where(valid[..., None], n, hit_n)
