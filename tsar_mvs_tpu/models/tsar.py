@@ -69,11 +69,14 @@ def confidence_stage(imgs: jnp.ndarray, view_ids: tuple[int, ...],
     return confid, lrdiff, disp
 
 
-@functools.partial(jax.jit, static_argnames=("params", "iters"))
 def wmf_stage(ref_img: jnp.ndarray, cams: geo.CameraSet, state: PlaneState,
               disp: jnp.ndarray, reliable: jnp.ndarray,
               params: AlgorithmParams, iters: int = 4):
-    """Coarse-to-fine WMF outlier marking (4x gipuma_WMF)."""
+    """Coarse-to-fine WMF outlier marking (4x gipuma_WMF). Each pass is
+    its own jitted program: fusing multiple WMF passes into one XLA
+    program crashes/stalls the TPU compiler (observed on v5e), and the
+    reference likewise launches one kernel per pass
+    (gipuma.cu:1809-1812)."""
     rays = geo.pixel_rays(cams, *ref_img.shape)
     for it in range(iters):
         reliable = wmf.wmf_mark_outliers(ref_img, state.normal, state.d,
@@ -196,12 +199,12 @@ def fake_depth_stage(cams: geo.CameraSet, region_planes: jnp.ndarray,
     return jnp.where(weak_region[labels], depth, 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("params", "iters"))
 def wmf_final_stage(ref_img: jnp.ndarray, cams: geo.CameraSet,
                     state: PlaneState, disp: jnp.ndarray,
                     reliable: jnp.ndarray, textured: jnp.ndarray,
                     params: AlgorithmParams, iters: int = 6):
-    """Fine WMF hole filling (6x gipuma_WMF_Final)."""
+    """Fine WMF hole filling (6x gipuma_WMF_Final); one jitted program
+    per pass (see wmf_stage)."""
     rays = geo.pixel_rays(cams, *ref_img.shape)
     normal, d = state.normal, state.d
     for it in range(iters):

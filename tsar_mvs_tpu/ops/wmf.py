@@ -26,6 +26,7 @@ median selects a *donor pixel* whose depth re-anchors the median plane
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import NamedTuple
 
@@ -177,6 +178,8 @@ def _plane_from_median(med: _MedianResult, offsets, cams: geo.CameraSet,
     return n, d
 
 
+@functools.partial(jax.jit, static_argnames=("iteration", "params",
+                                             "chunk_rows"))
 def wmf_mark_outliers(gray: jnp.ndarray, normal: jnp.ndarray,
                       d: jnp.ndarray, disp: jnp.ndarray,
                       reliable: jnp.ndarray, iteration: int,
@@ -212,6 +215,8 @@ def wmf_mark_outliers(gray: jnp.ndarray, normal: jnp.ndarray,
     return jnp.where(med.num > 0, keep, False)
 
 
+@functools.partial(jax.jit, static_argnames=("iteration", "params",
+                                             "chunk_rows"))
 def wmf_fill(gray: jnp.ndarray, normal: jnp.ndarray, d: jnp.ndarray,
              disp: jnp.ndarray, reliable: jnp.ndarray,
              textured: jnp.ndarray, iteration: int, cams: geo.CameraSet,
