@@ -78,13 +78,15 @@ def cmd_scene(argv: list[str]) -> int:
     p.add_argument("--max_views", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-ply", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="skip views whose TSAR_disp.dmb already exists")
     p.add_argument("--fuse", action="store_true",
                    help="run fusion after all views")
     ns = p.parse_args(argv)
     from tsar_mvs_tpu import pipeline
     params = _alg_params(ns)
     pipeline.process_scene(ns.scene_dir, params, seed=ns.seed,
-                           write_ply=not ns.no_ply)
+                           write_ply=not ns.no_ply, resume=ns.resume)
     if ns.fuse:
         out = pipeline.fuse_scene(ns.scene_dir)
         print(f"fused cloud: {out}")
@@ -97,12 +99,16 @@ def cmd_view(argv: list[str]) -> int:
     p.add_argument("ref", help="view index or name")
     p.add_argument("--iterations", type=int, default=None)
     p.add_argument("--blocksize", type=int, default=None)
+    p.add_argument("--vis", action="store_true",
+                   help="write normal/disparity/confidence PNGs + "
+                        "parameter dump")
     ns = p.parse_args(argv)
     from tsar_mvs_tpu import pipeline
     scene = pipeline.load_scene(ns.scene_dir)
     ref_idx = (int(ns.ref) if ns.ref.isdigit()
                else scene.names.index(ns.ref))
-    pipeline.process_view(scene, ref_idx, _alg_params(ns))
+    pipeline.process_view(scene, ref_idx, _alg_params(ns),
+                          write_vis=ns.vis)
     return 0
 
 
@@ -144,6 +150,61 @@ def cmd_synth(argv: list[str]) -> int:
     return 0
 
 
+def cmd_eval(argv: list[str]) -> int:
+    """GT evaluation (the reference's -gt/-gt_normal/--gtDepth_tolerance
+    harness, groundTruthUtils.h:22-139 + main.cpp:741-744,871-882)."""
+    p = argparse.ArgumentParser(prog="tsar eval")
+    p.add_argument("est", help="estimated depth .dmb/.pfm")
+    p.add_argument("gt", help="ground-truth depth .dmb/.pfm")
+    p.add_argument("--gtDepth_tolerance", type=float, default=1.0,
+                   dest="tolerance")
+    p.add_argument("--occl_mask", default=None)
+    p.add_argument("--est_normal", default=None)
+    p.add_argument("--gt_normal", default=None)
+    p.add_argument("--fscore", action="store_true",
+                   help="treat est/gt as .ply point clouds and report "
+                        "F1@2cm")
+    p.add_argument("--threshold", type=float, default=0.02)
+    ns = p.parse_args(argv)
+    import json
+    from tsar_mvs_tpu import eval as ev
+
+    if ns.fscore:
+        from tsar_mvs_tpu.utils.ply import read_ply
+        est = read_ply(ns.est)[0]
+        gt = read_ply(ns.gt)[0]
+        r = ev.point_cloud_fscore(est, gt, threshold=ns.threshold)
+        print(json.dumps({"precision": r.precision, "recall": r.recall,
+                          "f1": r.f1, "threshold": r.threshold}))
+        return 0
+
+    def load(path):
+        path = Path(path)
+        if path.suffix == ".pfm":
+            from tsar_mvs_tpu.utils.pfm import read_pfm
+            return read_pfm(path)
+        from tsar_mvs_tpu.utils.dmb import read_dmb
+        return read_dmb(path)
+
+    occl = None
+    if ns.occl_mask:
+        from tsar_mvs_tpu.utils.synthetic import read_png_gray
+        occl = read_png_gray(ns.occl_mask)
+    r = ev.depth_error(load(ns.est), load(ns.gt), tolerance=ns.tolerance,
+                       occl_mask=occl)
+    out = {"error": r.error, "error_nocc": r.error_nocc,
+           "error_valid": r.error_valid,
+           "error_valid_all": r.error_valid_all,
+           "abs_err_mean": r.abs_err_mean, "num_gt": r.num_gt,
+           "num_valid": r.num_valid}
+    if ns.est_normal and ns.gt_normal:
+        nr = ev.normal_error(load(ns.est_normal), load(ns.gt_normal))
+        out.update({"normal_mean_deg": nr.mean_deg,
+                    "normal_median_deg": nr.median_deg})
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_bench(argv: list[str]) -> int:
     import subprocess
     return subprocess.call([sys.executable,
@@ -157,6 +218,7 @@ COMMANDS = {
     "view": cmd_view,
     "fuse": cmd_fuse,
     "synth": cmd_synth,
+    "eval": cmd_eval,
     "bench": cmd_bench,
 }
 

@@ -83,16 +83,24 @@ def load_scene(root: str | Path) -> Scene:
                  depth_max=float(depth_max), pair=pair)
 
 
-def view_image_order(scene: Scene, ref_idx: int,
-                     max_views: int) -> tuple[list[int], tuple[int, ...]]:
+def view_image_order(scene: Scene, ref_idx: int, max_views: int,
+                     min_angle: float = 5.0, max_angle: float = 45.0
+                     ) -> tuple[list[int], tuple[int, ...]]:
     """Per-reference image ordering: [ref] + source views from pair.txt
-    (dataset ids), or all others by distance when pair.txt is absent.
-    Returns (image ids in pipeline order, source positions 1..S)."""
+    (dataset ids, the active reference path main.cpp:1345-1384), falling
+    back to the legacy angle-based selectViews when pair.txt is absent
+    (main.cpp:1011-1096). Returns (image ids in pipeline order, source
+    positions 1..S)."""
     if scene.pair.neighbors:
         src = scene.pair.source_ids(ref_idx, max_views)
     else:
-        src = [i for i in range(len(scene.names)) if i != ref_idx]
-        src = src[:max_views]
+        from tsar_mvs_tpu.models.view_selection import select_views_angle
+        src = select_views_angle(list(scene.P), ref_idx, scene.depth_min,
+                                 scene.depth_max, min_angle=min_angle,
+                                 max_angle=max_angle, max_views=max_views)
+        if not src:  # degenerate rigs (e.g. tiny synthetic scenes)
+            src = [i for i in range(len(scene.names))
+                   if i != ref_idx][:max_views]
     order = [ref_idx] + list(src)
     view_ids = tuple(range(1, len(order)))
     return order, view_ids
@@ -112,14 +120,17 @@ def process_view(scene: Scene, ref_idx: int,
                  key: jax.Array | None = None,
                  out_dir: str | Path | None = None,
                  pm_iterations: int | None = None,
-                 write_ply: bool = True) -> tsar.TsarResult:
+                 write_ply: bool = True,
+                 write_vis: bool = False) -> tsar.TsarResult:
     """Full per-view TSAR run (texture -> [prior|PatchMatch] -> refine ->
     artifacts), mirroring runGipuma (main.cpp:1268-1861)."""
     t0 = time.time()
     key = jax.random.PRNGKey(0) if key is None else key
     params = default_params_for_scene(scene, params)
 
-    order, view_ids = view_image_order(scene, ref_idx, params.max_views)
+    order, view_ids = view_image_order(scene, ref_idx, params.max_views,
+                                       min_angle=params.min_angle,
+                                       max_angle=params.max_angle)
     imgs = scene.images[order]
     cams = geo.build_camera_set([scene.P[i] for i in order],
                                 cam_scale=params.cam_scale,
@@ -176,6 +187,20 @@ def process_view(scene: Scene, ref_idx: int,
                                           rebase=False)
         write_view_ply(out_dir / "TSAR_model.ply", result,
                        scene.images[ref_idx], cams_world)
+    if write_vis:
+        # Debug/display artifacts (main.cpp:1800-1817 normal PNG with
+        # sphere legend + disparity PNG; writeParametersToFile).
+        from tsar_mvs_tpu.utils import display
+        display.write_png(out_dir / "TSAR_normals.png",
+                          display.add_sphere_legend(
+                              display.normals_for_display(
+                                  result.normal_world)))
+        display.write_png(out_dir / "TSAR_disp.png",
+                          display.disparity_for_display(result.depth))
+        display.write_png(out_dir / "TSAR_confidence.png",
+                          display.confidence_for_display(
+                              result.confidence))
+        display.write_parameters_file(out_dir / "TSAR_params.txt", params)
     runtime = time.time() - t0
     (out_dir / "TSAR_results.txt").open("a").write(
         f"Total runtime: {runtime:.3f} sec ( {runtime / 60.0:.3f} min)\n")
@@ -212,11 +237,22 @@ def write_view_ply(path: Path, result: tsar.TsarResult, gray: np.ndarray,
 def process_scene(scene_root: str | Path,
                   params: AlgorithmParams | None = None,
                   seed: int = 0, pm_iterations: int | None = None,
-                  write_ply: bool = True) -> list[tsar.TsarResult]:
-    """Run every reference view of a scene (the scripts/*.sh loop)."""
+                  write_ply: bool = True, resume: bool = False
+                  ) -> list[tsar.TsarResult | None]:
+    """Run every reference view of a scene (the scripts/*.sh loop).
+
+    ``resume=True`` gives the reference's file-granular checkpointing
+    (SURVEY.md §5: each view's artifacts are independent, so a crashed
+    scene restarts at the first view without a TSAR_disp.dmb; completed
+    views return None instead of being recomputed)."""
     scene = load_scene(scene_root)
     results = []
     for ref_idx in range(len(scene.names)):
+        name = scene.names[ref_idx]
+        done = scene.root / "results" / name / "TSAR_disp.dmb"
+        if resume and done.exists():
+            results.append(None)
+            continue
         key = jax.random.fold_in(jax.random.PRNGKey(seed), ref_idx)
         results.append(process_view(scene, ref_idx, params, key,
                                     pm_iterations=pm_iterations,
