@@ -21,6 +21,12 @@ import jax  # noqa: E402
 if not os.environ.get("TSAR_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the PatchMatch/WMF programs take minutes
+# of XLA compile each; caching makes suite re-runs compile-free.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("TSAR_JAX_CACHE", "/tmp/tsar_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

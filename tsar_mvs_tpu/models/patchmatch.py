@@ -24,6 +24,7 @@ from tsar_mvs_tpu.config import AlgorithmParams
 from tsar_mvs_tpu import geometry as geo
 from tsar_mvs_tpu.ops import checkerboard as cb
 from tsar_mvs_tpu.ops import ncc
+from tsar_mvs_tpu.ops import sampling
 
 
 class PlaneState(NamedTuple):
@@ -104,112 +105,245 @@ def state_from_prior(depth: jnp.ndarray, normal: jnp.ndarray,
                       best_view=jnp.full(shape, -1, jnp.int32))
 
 
+class ParityCtx(NamedTuple):
+    """Per-parity packed-layout constants for the half-grid passes
+    (ops.checkerboard parity compression): pixel coordinates, camera rays
+    and view vectors of each parity class in (H, W/2) layout."""
+    coords: tuple   # ((xx, yy) parity 0, (xx, yy) parity 1)
+    rays: tuple     # (rays_c parity 0, rays_c parity 1), each (H, W/2, 3)
+    vv: tuple       # view vectors, same layout
+
+
+def make_parity_ctx(stats_by_parity, cams: geo.CameraSet,
+                    height: int, width: int) -> ParityCtx:
+    vv = geo.view_vectors(cams, height, width)
+    return ParityCtx(
+        coords=tuple(cb.parity_coords(height, width, p) for p in (0, 1)),
+        rays=tuple(stats_by_parity[p].rays for p in (0, 1)),
+        vv=tuple(cb.parity_compress_vec(vv, p) for p in (0, 1)))
+
+
 def _propagation_pass(state: PlaneState, parity: int, cost_fn,
                       cams: geo.CameraSet, params: AlgorithmParams,
-                      skip_mask: jnp.ndarray | None = None) -> PlaneState:
-    """One checkerboard spatial-propagation half-pass. cost_fn(normal, d)
-    -> MultiviewCost evaluates the multi-view cost of a plane field."""
+                      skip_mask: jnp.ndarray | None = None,
+                      pctx: ParityCtx | None = None) -> PlaneState:
+    """One checkerboard spatial-propagation half-pass. cost_fn(normal, d,
+    parity) -> MultiviewCost evaluates the multi-view cost of a plane
+    field (parity=None: dense grid; else packed (H, W/2) layout).
+
+    With `pctx` the candidate costs are evaluated only at the updating
+    parity's pixels — half the gathers/flops of evaluate-and-mask,
+    mirroring the reference's half-grid kernel launches
+    (gipuma.cu:1096-1138)."""
     H, W = state.shape
     cands = cb.select_candidates(state.normal, state.d, state.cost)
-    mv = cost_fn(cands.normal, cands.d)
 
-    xx = jnp.arange(W, dtype=jnp.float32)[None, :]
-    yy = jnp.arange(H, dtype=jnp.float32)[:, None]
-    depth_at_p = geo.depth_from_plane(cams, cands.normal, cands.d, xx, yy)
+    if pctx is None:
+        # Dense fallback (odd dimensions): evaluate everywhere, mask.
+        xx = jnp.arange(W, dtype=jnp.float32)[None, :]
+        yy = jnp.arange(H, dtype=jnp.float32)[:, None]
+        cand_n, cand_d, cand_valid = cands.normal, cands.d, cands.valid
+        best_cost, best_n, best_d = state.cost, state.normal, state.d
+        best_ratio, best_view = state.ratio, state.best_view
+    else:
+        xx, yy = pctx.coords[parity]
+        cand_n = cb.parity_compress_vec(cands.normal, parity)
+        cand_d = cb.parity_compress(cands.d, parity)
+        cand_valid = cb.parity_compress(cands.valid, parity)
+        best_cost = cb.parity_compress(state.cost, parity)
+        best_n = cb.parity_compress_vec(state.normal, parity)
+        best_d = cb.parity_compress(state.d, parity)
+        best_ratio = cb.parity_compress(state.ratio, parity)
+        best_view = cb.parity_compress(state.best_view, parity)
+
+    # One batched multiview evaluation over the 8-bank axis (the view
+    # aggregation streams top-2 running mins for n_best=1, so no
+    # (V, 8, H, W) stack materializes), then a running min over banks.
+    parity_arg = None if pctx is None else parity
+    mv = cost_fn(cand_n, cand_d, parity_arg)
+    depth_at_p = geo.depth_from_plane(cams, cand_n, cand_d, xx, yy)
     in_borders = ((depth_at_p >= cams.depth_min)
                   & (depth_at_p <= cams.depth_max))
-    cand_cost = jnp.where(cands.valid & in_borders, mv.cost, jnp.inf)
+    cand_cost = jnp.where(cand_valid & in_borders, mv.cost, jnp.inf)
 
-    # Running min over the 8 banks, carrying the winner's fields.
-    best_cost = state.cost
-    best_n = state.normal
-    best_d = state.d
-    best_ratio = state.ratio
-    best_view = state.best_view
-    for k in range(cands.d.shape[0]):
+    for k in range(cand_d.shape[0]):
         take = cand_cost[k] < best_cost
         best_cost = jnp.where(take, cand_cost[k], best_cost)
-        best_n = jnp.where(take[..., None], cands.normal[k], best_n)
-        best_d = jnp.where(take, cands.d[k], best_d)
+        best_n = jnp.where(take[..., None], cand_n[k], best_n)
+        best_d = jnp.where(take, cand_d[k], best_d)
         best_ratio = jnp.where(take, mv.ratio[k], best_ratio)
         best_view = jnp.where(take, mv.best_view[k], best_view)
 
-    upd = cb.parity_mask(H, W, parity)
+    if pctx is None:
+        upd = cb.parity_mask(H, W, parity)
+        if skip_mask is not None:
+            upd = upd & ~skip_mask
+        return PlaneState(
+            normal=jnp.where(upd[..., None], best_n, state.normal),
+            d=jnp.where(upd, best_d, state.d),
+            cost=jnp.where(upd, best_cost, state.cost),
+            ratio=jnp.where(upd, best_ratio, state.ratio),
+            best_view=jnp.where(upd, best_view, state.best_view))
+
     if skip_mask is not None:
-        upd = upd & ~skip_mask
+        keep = cb.parity_compress(skip_mask, parity)
+        best_cost = jnp.where(keep, cb.parity_compress(state.cost, parity),
+                              best_cost)
+        best_n = jnp.where(keep[..., None],
+                           cb.parity_compress_vec(state.normal, parity),
+                           best_n)
+        best_d = jnp.where(keep, cb.parity_compress(state.d, parity),
+                           best_d)
+        best_ratio = jnp.where(keep, cb.parity_compress(state.ratio,
+                                                        parity), best_ratio)
+        best_view = jnp.where(keep, cb.parity_compress(state.best_view,
+                                                       parity), best_view)
     return PlaneState(
-        normal=jnp.where(upd[..., None], best_n, state.normal),
-        d=jnp.where(upd, best_d, state.d),
-        cost=jnp.where(upd, best_cost, state.cost),
-        ratio=jnp.where(upd, best_ratio, state.ratio),
-        best_view=jnp.where(upd, best_view, state.best_view))
+        normal=cb.parity_expand_vec(best_n, state.normal, parity),
+        d=cb.parity_expand(best_d, state.d, parity),
+        cost=cb.parity_expand(best_cost, state.cost, parity),
+        ratio=cb.parity_expand(best_ratio, state.ratio, parity),
+        best_view=cb.parity_expand(best_view, state.best_view, parity))
 
 
 def _refinement_pass(state: PlaneState, parity: int, key: jax.Array,
                      cost_fn, rays: jnp.ndarray, cams: geo.CameraSet,
                      params: AlgorithmParams,
-                     skip_mask: jnp.ndarray | None = None) -> PlaneState:
+                     skip_mask: jnp.ndarray | None = None,
+                     pctx: ParityCtx | None = None) -> PlaneState:
     """One checkerboard plane-refinement half-pass: multi-scale random
     search in (disparity, normal) space with sequential accepts
     (planeRefinement_cu + getRndDispAndUnitVector_cu,
-    gipuma.cu:568-676)."""
+    gipuma.cu:568-676). With `pctx`, the search runs entirely in the
+    packed (H, W/2) parity layout (half the cost evaluations and random
+    draws) and expands once at the end."""
     H, W = state.shape
-    xx = jnp.arange(W, dtype=jnp.float32)[None, :]
-    yy = jnp.arange(H, dtype=jnp.float32)[:, None]
-    vv = geo.view_vectors(cams, H, W)
-    upd = cb.parity_mask(H, W, parity)
-    if skip_mask is not None:
-        upd = upd & ~skip_mask
-
     f, b = cams.f, cams.baseline
-    for s_idx, (delta_z, delta_n) in enumerate(refine_schedule(params)):
-        k = jax.random.fold_in(key, s_idx)
+
+    if pctx is None:
+        xx = jnp.arange(W, dtype=jnp.float32)[None, :]
+        yy = jnp.arange(H, dtype=jnp.float32)[:, None]
+        vv = geo.view_vectors(cams, H, W)
+        upd = cb.parity_mask(H, W, parity)
+        if skip_mask is not None:
+            upd = upd & ~skip_mask
+        cur_n, cur_d = state.normal, state.d
+        cur_cost, cur_ratio = state.cost, state.ratio
+        cur_view = state.best_view
+        shape = (H, W)
+    else:
+        xx, yy = pctx.coords[parity]
+        vv = pctx.vv[parity]
+        rays = pctx.rays[parity]
+        upd = None
+        if skip_mask is not None:
+            upd = ~cb.parity_compress(skip_mask, parity)
+        cur_n = cb.parity_compress_vec(state.normal, parity)
+        cur_d = cb.parity_compress(state.d, parity)
+        cur_cost = cb.parity_compress(state.cost, parity)
+        cur_ratio = cb.parity_compress(state.ratio, parity)
+        cur_view = cb.parity_compress(state.best_view, parity)
+        shape = (H, W // 2)
+
+    # The perturbation scales run as a lax.scan (sequential accepts are a
+    # true carry dependency): one compiled body instead of ~5 unrolled
+    # multiview cost evaluations — the dominant contributor to XLA
+    # compile time at the full operating point.
+    sched = refine_schedule(params)
+    if not sched:
+        return state
+    deltas = jnp.asarray(sched, jnp.float32)             # (S, 2)
+    keys = jax.random.split(key, len(sched))             # (S, 2)
+
+    def scale_body(carry, xs):
+        cur_n, cur_d, cur_cost, cur_ratio, cur_view = carry
+        delta, k = xs
+        delta_z, delta_n = delta[0], delta[1]
         k_z, k_n = jax.random.split(k)
         # Current depth at p -> disparity domain.
-        depth_now = geo.depth_from_plane(cams, state.normal, state.d, xx, yy)
+        depth_now = geo.depth_from_plane(cams, cur_n, cur_d, xx, yy)
         disp_now = geo.disparity_depth(f, b, depth_now)
         min_delta = -jnp.minimum(delta_z, params.min_disparity + disp_now)
         max_delta = jnp.minimum(delta_z, params.max_disparity - disp_now)
-        u = jax.random.uniform(k_z, (H, W), jnp.float32)
+        u = jax.random.uniform(k_z, shape, jnp.float32)
         dz = min_delta + u * (max_delta - min_delta)
         disp_new = jnp.clip(disp_now + dz, params.min_disparity,
                             params.max_disparity)
         depth_new = geo.disparity_depth(f, b, disp_new)
 
-        dn = jax.random.uniform(k_n, (H, W, 3), jnp.float32,
+        dn = jax.random.uniform(k_n, shape + (3,), jnp.float32,
                                 -delta_n, delta_n)
-        n_new = geo.normalize(state.normal + dn)
+        n_new = geo.normalize(cur_n + dn)
         n_new = geo.hemisphere_flip(n_new, vv)
         d_new = geo.plane_d_from_depth(n_new, rays, depth_new)
 
-        mv = cost_fn(n_new, d_new)
-        take = (mv.cost < state.cost) & upd
-        state = PlaneState(
-            normal=jnp.where(take[..., None], n_new, state.normal),
-            d=jnp.where(take, d_new, state.d),
-            cost=jnp.where(take, mv.cost, state.cost),
-            ratio=jnp.where(take, mv.ratio, state.ratio),
-            best_view=jnp.where(take, mv.best_view, state.best_view))
-    return state
+        mv = cost_fn(n_new, d_new, None if pctx is None else parity)
+        take = mv.cost < cur_cost
+        if upd is not None:
+            take = take & upd
+        cur_n = jnp.where(take[..., None], n_new, cur_n)
+        cur_d = jnp.where(take, d_new, cur_d)
+        cur_cost = jnp.where(take, mv.cost, cur_cost)
+        cur_ratio = jnp.where(take, mv.ratio, cur_ratio)
+        cur_view = jnp.where(take, mv.best_view, cur_view)
+        return (cur_n, cur_d, cur_cost, cur_ratio, cur_view), None
+
+    (cur_n, cur_d, cur_cost, cur_ratio, cur_view), _ = jax.lax.scan(
+        scale_body, (cur_n, cur_d, cur_cost, cur_ratio, cur_view),
+        (deltas, keys))
+
+    if pctx is None:
+        return PlaneState(normal=cur_n, d=cur_d, cost=cur_cost,
+                          ratio=cur_ratio, best_view=cur_view)
+    return PlaneState(
+        normal=cb.parity_expand_vec(cur_n, state.normal, parity),
+        d=cb.parity_expand(cur_d, state.d, parity),
+        cost=cb.parity_expand(cur_cost, state.cost, parity),
+        ratio=cb.parity_expand(cur_ratio, state.ratio, parity),
+        best_view=cb.parity_expand(cur_view, state.best_view, parity))
 
 
 def make_patchmatch_step(cost_fn, rays: jnp.ndarray, cams: geo.CameraSet,
                          params: AlgorithmParams,
-                         skip_mask: jnp.ndarray | None = None):
+                         skip_mask: jnp.ndarray | None = None,
+                         pctx: ParityCtx | None = None):
     """One full iteration: black prop, black refine, red prop, red refine
-    (gipuma.cu:1744-1754 loop body)."""
+    (gipuma.cu:1744-1754 loop body). cost_fn(normal, d, parity) — parity
+    None evaluates on the dense grid, 0/1 on the packed half-grid."""
     def step(it: jnp.ndarray, carry: tuple[PlaneState, jax.Array]):
         state, key = carry
         it_key = jax.random.fold_in(key, it)
         for parity in (0, 1):
             state = _propagation_pass(state, parity, cost_fn, cams,
-                                      params, skip_mask)
+                                      params, skip_mask, pctx)
             state = _refinement_pass(state, parity,
                                      jax.random.fold_in(it_key, parity),
                                      cost_fn, rays, cams, params,
-                                     skip_mask)
+                                     skip_mask, pctx)
         return (state, key)
     return step
+
+
+def _make_cost_and_ctx(stats, cams: geo.CameraSet, height: int,
+                       width: int, eval_view_cost):
+    """Shared plumbing for the parity-packed cost path: returns
+    (cost_fn(normal, d, parity), pctx) with parity-compressed RefStats,
+    or a dense-only cost_fn and pctx=None when H/W are odd.
+    eval_view_cost(normal, d, stats, coords) -> MultiviewCost."""
+    if cb.parity_compressible(height, width):
+        stats_p = {None: stats,
+                   0: ncc.compress_stats(stats, 0),
+                   1: ncc.compress_stats(stats, 1)}
+        pctx = make_parity_ctx(stats_p, cams, height, width)
+
+        def cost_fn(normal, d, parity=None):
+            coords = None if parity is None else pctx.coords[parity]
+            return eval_view_cost(normal, d, stats_p[parity], coords)
+        return cost_fn, pctx
+
+    def cost_fn(normal, d, parity=None):
+        return eval_view_cost(normal, d, stats, None)
+    return cost_fn, None
 
 
 @functools.partial(jax.jit,
@@ -225,16 +359,25 @@ def run_patchmatch(key: jax.Array, imgs: jnp.ndarray,
     """
     stats = ncc.precompute_ref_stats(imgs[0], cams, params)
     init_key, key = jax.random.split(key)
+    H, W = imgs.shape[1:]
 
-    def cost_fn(normal, d):
-        return ncc.multiview_cost(imgs, view_ids, cams, normal, d, stats,
-                                  params)
+    # Pre-pack source views once (outside the iteration loop): one
+    # gather per bilinear sample in the hot path.
+    packed = {v: sampling.pack_image(imgs[v], jnp.bfloat16)
+              for v in view_ids}
+
+    def eval_view_cost(normal, d, st, coords):
+        return ncc.multiview_cost(packed, view_ids, cams, normal, d, st,
+                                  params, coords=coords)
+
+    cost_fn, pctx = _make_cost_and_ctx(stats, cams, H, W, eval_view_cost)
 
     if init_state is None:
         init_state = random_init(init_key, imgs, view_ids, cams, stats,
                                  params)
     iters = params.iterations if iterations is None else iterations
-    step = make_patchmatch_step(cost_fn, stats.rays, cams, params)
+    step = make_patchmatch_step(cost_fn, stats.rays, cams, params,
+                                pctx=pctx)
     state, _ = jax.lax.fori_loop(0, iters, step, (init_state, key))
     return state
 
@@ -307,14 +450,18 @@ def patchmatch_one_ref(key: jax.Array, imgs: jnp.ndarray,
     ref_img = imgs[ref_id]
     src_imgs = imgs[src_ids]                 # (S, H, W) dynamic gather
     stats = ncc.precompute_ref_stats(ref_img, cams, params)
+    H, W = ref_img.shape
+    packed_src = tuple(sampling.pack_image(src_imgs[s], jnp.bfloat16)
+                       for s in range(src_imgs.shape[0]))
 
-    def cost_fn(normal, d):
-        return ncc.multiview_cost_gathered(src_imgs, A, b, src_ids,
-                                           src_valid, normal, d, stats,
-                                           params)
+    def eval_view_cost(normal, d, st, coords):
+        return ncc.multiview_cost_gathered(packed_src, A, b, src_ids,
+                                           src_valid, normal, d, st,
+                                           params, coords=coords)
+
+    cost_fn, pctx = _make_cost_and_ctx(stats, cams, H, W, eval_view_cost)
 
     init_key, key = jax.random.split(key)
-    H, W = ref_img.shape
     k_disp, k_norm = jax.random.split(init_key)
     disp = jax.random.uniform(k_disp, (H, W), jnp.float32,
                               params.min_disparity, params.max_disparity)
@@ -322,11 +469,12 @@ def patchmatch_one_ref(key: jax.Array, imgs: jnp.ndarray,
     n = geo.normalize(jax.random.normal(k_norm, (H, W, 3), jnp.float32))
     n = geo.hemisphere_flip(n, geo.view_vectors(cams, H, W))
     d0 = geo.plane_d_from_depth(n, stats.rays, depth)
-    mv = cost_fn(n, d0)
+    mv = cost_fn(n, d0, None)
     init_state = PlaneState(normal=n, d=d0, cost=mv.cost, ratio=mv.ratio,
                             best_view=mv.best_view)
 
-    step = make_patchmatch_step(cost_fn, stats.rays, cams, params)
+    step = make_patchmatch_step(cost_fn, stats.rays, cams, params,
+                                pctx=pctx)
     state, _ = jax.lax.fori_loop(0, iterations, step, (init_state, key))
     return state
 

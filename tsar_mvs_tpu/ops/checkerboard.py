@@ -130,3 +130,74 @@ def parity_mask(height: int, width: int, parity: int) -> jnp.ndarray:
     yy = jnp.arange(height)[:, None]
     xx = jnp.arange(width)[None, :]
     return ((xx + yy) % 2) == parity
+
+
+# ---------------------------------------------------------------------------
+# Parity half-grid compression.
+#
+# A checkerboard parity class {(y, x) : (x + y) % 2 == p} packs densely
+# into (H, W/2): row y holds columns x = 2j + (p + y) % 2. Both directions
+# are static strided slices — no gathers — so evaluating the multiview
+# cost only at the updating parity's pixels halves the hot path's gathers
+# and flops relative to evaluate-everywhere-and-mask (the reference's
+# half-grid kernel launches, gipuma.cu:1096-1138, achieve the same 2x).
+# Requires H and W even; callers fall back to the dense path otherwise.
+# ---------------------------------------------------------------------------
+
+def parity_compressible(height: int, width: int) -> bool:
+    return height % 2 == 0 and width % 2 == 0
+
+
+def parity_coords(height: int, width: int, parity: int
+                  ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(xx, yy) float32 pixel coordinates of the packed layout,
+    each (H, W/2)."""
+    yy = jnp.broadcast_to(
+        jnp.arange(height, dtype=jnp.float32)[:, None],
+        (height, width // 2))
+    off = (parity + jnp.arange(height, dtype=jnp.int32)) % 2
+    xx = (2 * jnp.arange(width // 2, dtype=jnp.int32)[None, :]
+          + off[:, None]).astype(jnp.float32)
+    return xx, yy
+
+
+def parity_compress(a: jnp.ndarray, parity: int) -> jnp.ndarray:
+    """(..., H, W) -> (..., H, W/2): keep only parity-class pixels."""
+    H, W = a.shape[-2], a.shape[-1]
+    even = a[..., 0::2, parity::2]            # rows 0,2,..: x%2 == parity
+    odd = a[..., 1::2, (1 - parity)::2]       # rows 1,3,..: x%2 == 1-parity
+    out = jnp.stack([even, odd], axis=-2)     # (..., H/2, 2, W/2)
+    return out.reshape(*a.shape[:-2], H, W // 2)
+
+
+def parity_expand(comp: jnp.ndarray, old: jnp.ndarray,
+                  parity: int) -> jnp.ndarray:
+    """Scatter packed values back: parity-class pixels take `comp`,
+    the rest keep `old`. comp: (..., H, W/2); old: (..., H, W)."""
+    H, W = old.shape[-2], old.shape[-1]
+    z = jnp.zeros_like(comp)
+
+    def interleave(a, b):                     # a -> even x, b -> odd x
+        return jnp.stack([a, b], axis=-1).reshape(*a.shape[:-1], W)
+
+    at_even_x = interleave(comp, z)
+    at_odd_x = interleave(z, comp)
+    ie = at_even_x if parity == 0 else at_odd_x   # even rows
+    io = at_odd_x if parity == 0 else at_even_x   # odd rows
+    rows = jnp.stack([ie[..., 0::2, :], io[..., 1::2, :]], axis=-2)
+    full_new = rows.reshape(*old.shape)
+    return jnp.where(parity_mask(H, W, parity), full_new, old)
+
+
+def parity_compress_vec(a: jnp.ndarray, parity: int) -> jnp.ndarray:
+    """Channel-last variant: (..., H, W, C) -> (..., H, W/2, C)."""
+    moved = jnp.moveaxis(a, -1, 0)
+    return jnp.moveaxis(parity_compress(moved, parity), 0, -1)
+
+
+def parity_expand_vec(comp: jnp.ndarray, old: jnp.ndarray,
+                      parity: int) -> jnp.ndarray:
+    """Channel-last variant of parity_expand."""
+    comp_m = jnp.moveaxis(comp, -1, 0)
+    old_m = jnp.moveaxis(old, -1, 0)
+    return jnp.moveaxis(parity_expand(comp_m, old_m, parity), 0, -1)

@@ -32,7 +32,9 @@ import jax.numpy as jnp
 
 from tsar_mvs_tpu.config import AlgorithmParams
 from tsar_mvs_tpu.geometry import CameraSet, matvec3, pixel_rays
-from tsar_mvs_tpu.ops.sampling import bilinear_sample, shift_with_edge_clamp
+from tsar_mvs_tpu.ops.sampling import (PackedImage, bilinear_sample,
+                                       bilinear_sample_packed, pack_image,
+                                       shift_with_edge_clamp)
 
 MAXCOST = 2.0  # reference: config.h:22
 
@@ -101,29 +103,52 @@ def precompute_ref_stats(ref_img: jnp.ndarray, cams: CameraSet,
                     k0=cams.K_inv[0][:, 0], k1=cams.K_inv[0][:, 1])
 
 
+def compress_stats(stats: RefStats, parity: int) -> RefStats:
+    """RefStats restricted to one checkerboard parity class in the packed
+    (H, W/2) layout (ops.checkerboard.parity_compress). Every per-pixel
+    field is a static strided slice; k0/k1 are per-image constants."""
+    from tsar_mvs_tpu.ops import checkerboard as cb
+    return RefStats(
+        center=cb.parity_compress(stats.center, parity),
+        ref_centered=cb.parity_compress(stats.ref_centered, parity),
+        weights=cb.parity_compress(stats.weights, parity),
+        inv_wsum=cb.parity_compress(stats.inv_wsum, parity),
+        mean_ref=cb.parity_compress(stats.mean_ref, parity),
+        var_ref=cb.parity_compress(stats.var_ref, parity),
+        rays=cb.parity_compress_vec(stats.rays, parity),
+        k0=stats.k0, k1=stats.k1)
+
+
 def pm_cost_view(src_img: jnp.ndarray, cams: CameraSet, view: int,
                  normal: jnp.ndarray, d: jnp.ndarray, stats: RefStats,
-                 params: AlgorithmParams) -> jnp.ndarray:
+                 params: AlgorithmParams, coords=None) -> jnp.ndarray:
     """NCC cost against one statically-indexed source view."""
     return pm_cost_ab(src_img, cams.A[view], cams.b[view], normal, d,
-                      stats, params)
+                      stats, params, coords=coords)
 
 
 def pm_cost_ab(src_img: jnp.ndarray, A: jnp.ndarray, b: jnp.ndarray,
                normal: jnp.ndarray, d: jnp.ndarray, stats: RefStats,
-               params: AlgorithmParams) -> jnp.ndarray:
+               params: AlgorithmParams, coords=None) -> jnp.ndarray:
     """NCC cost of plane field (normal, d) against one source view given
     its warp factors A = K_s R K_ref^-1, b = K_s t (possibly traced — the
     view-sharded batch path indexes them dynamically).
 
-    normal: (..., H, W, 3); d: (..., H, W). Returns (..., H, W).
+    normal: (..., Hc, Wc, 3); d: (..., Hc, Wc). Returns (..., Hc, Wc).
+    `coords=(xx, yy)` gives each output position's reference-pixel
+    coordinates (defaults to the dense grid); with parity-compressed
+    stats (compress_stats) + packed coords the cost is evaluated only at
+    that parity's pixels. `src_img` is always the full source image.
     Faithful to pmCost (gipuma.cu:229-298) with the warp factored.
     """
-    H, W = src_img.shape
     offsets = window_offsets(params)
 
-    xx = jnp.arange(W, dtype=jnp.float32)[None, :]
-    yy = jnp.arange(H, dtype=jnp.float32)[:, None]
+    if coords is None:
+        Hc, Wc = stats.mean_ref.shape
+        xx = jnp.arange(Wc, dtype=jnp.float32)[None, :]
+        yy = jnp.arange(Hc, dtype=jnp.float32)[:, None]
+    else:
+        xx, yy = coords
     # A p~ per pixel (candidate-independent): 3 planes of (H, W).
     Ap = [A[r, 0] * xx + A[r, 1] * yy + A[r, 2] for r in range(3)]
 
@@ -137,22 +162,40 @@ def pm_cost_ab(src_img: jnp.ndarray, A: jnp.ndarray, b: jnp.ndarray,
     sx = nk0 * inv_d
     sy = nk1 * inv_d
 
-    sum_src = 0.0
-    sum_src_src = 0.0
-    sum_ref_src = 0.0
-    for o_idx, (i, j) in enumerate(offsets):
+    if isinstance(src_img, PackedImage):
+        def sample(qx, qy):
+            return bilinear_sample_packed(src_img, qx, qy)
+    else:
+        def sample(qx, qy):
+            return bilinear_sample(src_img, qx, qy)
+
+    # The window accumulation runs as a lax.scan over the O offsets so
+    # only one offset's gather result is live at a time. Unrolled, XLA's
+    # scheduler materializes every (candidate-batched) gather output
+    # concurrently — 36 offsets x V views of (8, H, W/2, 4) blows HBM by
+    # ~30 GB at the 2K operating point.
+    ij = jnp.asarray([(float(i), float(j)) for (i, j) in offsets],
+                     jnp.float32)                        # (O, 2)
+    zero = jnp.zeros(jnp.broadcast_shapes(s0.shape, stats.center.shape),
+                     jnp.float32)
+
+    def off_body(carry, xs):
+        acc_src, acc_src_src, acc_ref_src = carry
+        ref_c, w, ij_o = xs
+        i, j = ij_o[0], ij_o[1]
         s = s0 + i * sx + j * sy
         qx = (Ap[0] + (i * A[0, 0] + j * A[0, 1])) - b[0] * s
         qy = (Ap[1] + (i * A[1, 0] + j * A[1, 1])) - b[1] * s
         qz = (Ap[2] + (i * A[2, 0] + j * A[2, 1])) - b[2] * s
         inv_qz = 1.0 / qz
-        src = bilinear_sample(src_img, qx * inv_qz, qy * inv_qz) - stats.center
-        w = stats.weights[o_idx]
-        ref_c = stats.ref_centered[o_idx]
+        src = sample(qx * inv_qz, qy * inv_qz) - stats.center
         ws = w * src
-        sum_src = sum_src + ws
-        sum_src_src = sum_src_src + ws * src
-        sum_ref_src = sum_ref_src + ws * ref_c
+        return (acc_src + ws, acc_src_src + ws * src,
+                acc_ref_src + ws * ref_c), None
+
+    (sum_src, sum_src_src, sum_ref_src), _ = jax.lax.scan(
+        off_body, (zero, zero, zero),
+        (stats.ref_centered, stats.weights, ij))
 
     mean_src = sum_src * stats.inv_wsum
     mean_src_src = sum_src_src * stats.inv_wsum
@@ -176,7 +219,8 @@ class MultiviewCost(NamedTuple):
 
 def multiview_cost(src_imgs: jnp.ndarray, view_ids: Sequence[int],
                    cams: CameraSet, normal: jnp.ndarray, d: jnp.ndarray,
-                   stats: RefStats, params: AlgorithmParams) -> MultiviewCost:
+                   stats: RefStats, params: AlgorithmParams,
+                   coords=None) -> MultiviewCost:
     """Aggregate per-view NCC costs (pmCostMultiview_cu, gipuma.cu:455-518).
 
     src_imgs: (V_total, H, W) all images (index 0 = reference);
@@ -184,31 +228,65 @@ def multiview_cost(src_imgs: jnp.ndarray, view_ids: Sequence[int],
     subset). Cost = mean of the best min(n_best, #valid) per-view costs;
     a view is valid when its cost < MAXCOST.
     """
-    costs = jnp.stack([
-        pm_cost_view(src_imgs[v], cams, v, normal, d, stats, params)
-        for v in view_ids], axis=0)                      # (V, ..., H, W)
+    per_view = [lambda v=v: pm_cost_view(src_imgs[v], cams, v, normal, d,
+                                         stats, params, coords=coords)
+                for v in view_ids]
     ids = jnp.asarray(list(view_ids), jnp.int32)
-    return aggregate_view_costs(costs, ids, params)
+    return _aggregate_streaming(per_view, ids, params)
 
 
 def multiview_cost_gathered(src_imgs: jnp.ndarray, A: jnp.ndarray,
                             b: jnp.ndarray, src_ids: jnp.ndarray,
                             src_valid: jnp.ndarray, normal: jnp.ndarray,
                             d: jnp.ndarray, stats: RefStats,
-                            params: AlgorithmParams) -> MultiviewCost:
+                            params: AlgorithmParams,
+                            coords=None) -> MultiviewCost:
     """Multi-view cost with *traced* per-source warp factors — the
     view-sharded batch path (sources pre-gathered per reference view).
 
-    src_imgs: (S, H, W); A: (S, 3, 3); b: (S, 3); src_ids: (S,) int32
-    original view ids for best_view reporting; src_valid: (S,) bool mask
-    for padded source slots (invalid slots cost MAXCOST).
+    src_imgs: (S, H, W) array or sequence of PackedImage (pre-packed by
+    the caller outside any loop); A: (S, 3, 3); b: (S, 3); src_ids: (S,)
+    int32 original view ids for best_view reporting; src_valid: (S,)
+    bool mask for padded source slots (invalid slots cost MAXCOST).
     """
-    S = src_imgs.shape[0]
-    costs = []
-    for s in range(S):
-        c = pm_cost_ab(src_imgs[s], A[s], b[s], normal, d, stats, params)
-        costs.append(jnp.where(src_valid[s], c, MAXCOST))
-    return aggregate_view_costs(jnp.stack(costs, axis=0), src_ids, params)
+    S = len(src_imgs)
+
+    def one(s):
+        c = pm_cost_ab(src_imgs[s], A[s], b[s], normal, d, stats, params,
+                       coords=coords)
+        return jnp.where(src_valid[s], c, MAXCOST)
+
+    per_view = [lambda s=s: one(s) for s in range(S)]
+    return _aggregate_streaming(per_view, src_ids, params)
+
+
+def _aggregate_streaming(per_view, ids: jnp.ndarray,
+                         params: AlgorithmParams) -> MultiviewCost:
+    """Aggregate per-view costs from thunks. For n_best == 1 the top-2
+    running mins stream view by view, so at most ~3 cost-sized buffers
+    are live at once (a stacked (V, ...) cost tensor over a batched
+    candidate axis OOMs HBM at the 2K operating point); otherwise falls
+    back to the stacked sort-based path."""
+    V = len(per_view)
+    if params.n_best != 1:
+        costs = jnp.stack([f() for f in per_view], axis=0)
+        return aggregate_view_costs(costs, ids, params)
+
+    best = per_view[0]()
+    second = jnp.full_like(best, MAXCOST)
+    bidx = jnp.zeros(best.shape, jnp.int32)
+    for k in range(1, V):
+        c = per_view[k]()
+        is_new = c < best
+        second = jnp.where(is_new, best, jnp.minimum(second, c))
+        best = jnp.where(is_new, c, best)
+        bidx = jnp.where(is_new, k, bidx)
+    if V == 1:
+        second = best
+    any_valid = best < MAXCOST
+    ratio = jnp.where(any_valid, best / second, 0.0)
+    best_view = jnp.where(any_valid, ids[bidx], -1)
+    return MultiviewCost(cost=best, best_view=best_view, ratio=ratio)
 
 
 def aggregate_view_costs(costs: jnp.ndarray, ids: jnp.ndarray,
@@ -216,8 +294,29 @@ def aggregate_view_costs(costs: jnp.ndarray, ids: jnp.ndarray,
     """Best-n aggregation over the leading view axis (pmCostMultiview_cu,
     gipuma.cu:455-518): cost = mean of best min(n_best, #valid) view
     costs; ratio = best/second; best_view = argmin view id (-1 if none
-    valid)."""
+    valid).
+
+    n_best == 1 (the scripts' operating point) takes a running top-2
+    min instead of a full sort: per-view costs are clipped to MAXCOST,
+    so "mean of best 1 valid" is exactly the min, and skipping the sort
+    avoids V-sized sort buffers in the hot loop's memory footprint."""
     V = costs.shape[0]
+    if params.n_best == 1:
+        best = costs[0]
+        second = jnp.full_like(best, MAXCOST)
+        bidx = jnp.zeros(best.shape, jnp.int32)
+        for k in range(1, V):
+            is_new = costs[k] < best
+            second = jnp.where(is_new, best,
+                               jnp.minimum(second, costs[k]))
+            best = jnp.where(is_new, costs[k], best)
+            bidx = jnp.where(is_new, k, bidx)
+        if V == 1:
+            second = best        # matches sorted[1] fallback below
+        any_valid = best < MAXCOST
+        ratio = jnp.where(any_valid, best / second, 0.0)
+        best_view = jnp.where(any_valid, ids[bidx], -1)
+        return MultiviewCost(cost=best, best_view=best_view, ratio=ratio)
     sorted_costs = jnp.sort(costs, axis=0)
     num_valid = jnp.sum((costs < MAXCOST).astype(jnp.int32), axis=0)
     num_best = jnp.minimum(num_valid, params.n_best)
@@ -307,9 +406,16 @@ def _rl_cost_single(ref_img: jnp.ndarray, src_img: jnp.ndarray,
     cy_ = (Hm[1][0] * xx + Hm[1][1] * yy + Hm[1][2]) / cz
     cen_pix = bilinear_sample(src_img, cx_, cy_)
 
-    sums = [0.0] * 5
-    wsum = 0.0
-    for (i, j) in offsets:
+    # Same lax.scan-over-offsets structure as pm_cost_ab: bounds live
+    # gather buffers to one offset (unrolled, the scheduler materializes
+    # every warped read and OOMs/crashes at 2K).
+    ij_sp = jnp.asarray([(float(i), float(j), math.sqrt(i * i + j * j))
+                         for (i, j) in offsets], jnp.float32)
+    zero = jnp.zeros_like(cx_)
+
+    def off_body(carry, ij_o):
+        s_r, s_rr, s_s, s_ss, s_rs, s_w = carry
+        i, j, spatial = ij_o[0], ij_o[1], ij_o[2]
         plx = cx_ + i
         ply = cy_ + j
         ref_pix = bilinear_sample(src_img, plx, ply) - cen_pix
@@ -317,14 +423,14 @@ def _rl_cost_single(ref_img: jnp.ndarray, src_img: jnp.ndarray,
         prx = (Vm[0][0] * plx + Vm[0][1] * ply + Vm[0][2]) / prz
         pry = (Vm[1][0] * plx + Vm[1][1] * ply + Vm[1][2]) / prz
         src_pix = bilinear_sample(ref_img, prx, pry) - cen_pix
-        spatial = math.sqrt(i * i + j * j)
         w = jnp.exp(-spatial * inv_2ss - jnp.abs(ref_pix) * inv_2sc)
-        sums[0] = sums[0] + w * ref_pix
-        sums[1] = sums[1] + w * ref_pix * ref_pix
-        sums[2] = sums[2] + w * src_pix
-        sums[3] = sums[3] + w * src_pix * src_pix
-        sums[4] = sums[4] + w * ref_pix * src_pix
-        wsum = wsum + w
+        return (s_r + w * ref_pix, s_rr + w * ref_pix * ref_pix,
+                s_s + w * src_pix, s_ss + w * src_pix * src_pix,
+                s_rs + w * ref_pix * src_pix, s_w + w), None
+
+    (s_r, s_rr, s_s, s_ss, s_rs, wsum), _ = jax.lax.scan(
+        off_body, (zero,) * 6, ij_sp)
+    sums = [s_r, s_rr, s_s, s_ss, s_rs]
 
     inv_wsum = 1.0 / wsum
     mr, mrr, ms, mss, mrs = [s * inv_wsum for s in sums]
