@@ -176,8 +176,10 @@ def pm_cost_ab(src_img: jnp.ndarray, A: jnp.ndarray, b: jnp.ndarray,
     # ~30 GB at the 2K operating point.
     ij = jnp.asarray([(float(i), float(j)) for (i, j) in offsets],
                      jnp.float32)                        # (O, 2)
-    zero = jnp.zeros(jnp.broadcast_shapes(s0.shape, stats.center.shape),
-                     jnp.float32)
+    # Derive the zero init from the operands (not a fresh constant) so
+    # the scan carry keeps their mesh-axis "varying" type under
+    # shard_map (the view-sharded path).
+    zero = s0 * 0.0 + stats.center * 0.0
 
     def off_body(carry, xs):
         acc_src, acc_src_src, acc_ref_src = carry
@@ -411,7 +413,7 @@ def _rl_cost_single(ref_img: jnp.ndarray, src_img: jnp.ndarray,
     # every warped read and OOMs/crashes at 2K).
     ij_sp = jnp.asarray([(float(i), float(j), math.sqrt(i * i + j * j))
                          for (i, j) in offsets], jnp.float32)
-    zero = jnp.zeros_like(cx_)
+    zero = cx_ * 0.0    # operand-derived: keeps shard_map varying type
 
     def off_body(carry, ij_o):
         s_r, s_rr, s_s, s_ss, s_rs, s_w = carry
