@@ -82,6 +82,17 @@ def main() -> int:
     compile_s = time.time() - t0
     print(f"# warmup (incl. compile): {compile_s:.1f}s", file=sys.stderr)
 
+    # Optional jax.profiler trace of the timed region (SURVEY.md §5's
+    # tracing equivalent): TSAR_BENCH_PROFILE=<dir> writes a TensorBoard
+    # trace of one timed view.
+    profile_dir = os.environ.get("TSAR_BENCH_PROFILE")
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            out = one_view(jax.random.PRNGKey(99))
+            jax.block_until_ready(out)
+        print(f"# profile trace written to {profile_dir}",
+              file=sys.stderr)
+
     times = []
     for r in range(repeats):
         t0 = time.time()
