@@ -366,9 +366,24 @@ def run_patchmatch(key: jax.Array, imgs: jnp.ndarray,
     packed = {v: sampling.pack_image(imgs[v], jnp.bfloat16)
               for v in view_ids}
 
-    def eval_view_cost(normal, d, st, coords):
-        return ncc.multiview_cost(packed, view_ids, cams, normal, d, st,
-                                  params, coords=coords)
+    if H * W >= (1 << 20) and params.n_best == 1:
+        # Large images: scan the view axis so one view's working set is
+        # live at a time (unrolled views fault the TPU worker at 2K x
+        # 7 sources — HBM pressure).
+        packed_stack = jnp.stack([packed[v].data for v in view_ids])
+        idx = jnp.asarray(list(view_ids), jnp.int32)
+        A_stack = cams.A[idx]
+        b_stack = cams.b[idx]
+        valid = jnp.ones((len(view_ids),), bool)
+
+        def eval_view_cost(normal, d, st, coords):
+            return ncc.multiview_cost_viewscan(
+                packed_stack, H, W, A_stack, b_stack, idx, valid,
+                normal, d, st, params, coords=coords)
+    else:
+        def eval_view_cost(normal, d, st, coords):
+            return ncc.multiview_cost(packed, view_ids, cams, normal, d,
+                                      st, params, coords=coords)
 
     cost_fn, pctx = _make_cost_and_ctx(stats, cams, H, W, eval_view_cost)
 
@@ -454,10 +469,18 @@ def patchmatch_one_ref(key: jax.Array, imgs: jnp.ndarray,
     packed_src = tuple(sampling.pack_image(src_imgs[s], jnp.bfloat16)
                        for s in range(src_imgs.shape[0]))
 
-    def eval_view_cost(normal, d, st, coords):
-        return ncc.multiview_cost_gathered(packed_src, A, b, src_ids,
-                                           src_valid, normal, d, st,
-                                           params, coords=coords)
+    if H * W >= (1 << 20) and params.n_best == 1:
+        packed_stack = jnp.stack([p.data for p in packed_src])
+
+        def eval_view_cost(normal, d, st, coords):
+            return ncc.multiview_cost_viewscan(
+                packed_stack, H, W, A, b, src_ids, src_valid, normal, d,
+                st, params, coords=coords)
+    else:
+        def eval_view_cost(normal, d, st, coords):
+            return ncc.multiview_cost_gathered(packed_src, A, b, src_ids,
+                                               src_valid, normal, d, st,
+                                               params, coords=coords)
 
     cost_fn, pctx = _make_cost_and_ctx(stats, cams, H, W, eval_view_cost)
 

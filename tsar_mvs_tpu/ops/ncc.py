@@ -262,6 +262,52 @@ def multiview_cost_gathered(src_imgs: jnp.ndarray, A: jnp.ndarray,
     return _aggregate_streaming(per_view, src_ids, params)
 
 
+def multiview_cost_viewscan(packed_data: jnp.ndarray, height: int,
+                            width: int, A: jnp.ndarray, b: jnp.ndarray,
+                            ids: jnp.ndarray, valid: jnp.ndarray,
+                            normal: jnp.ndarray, d: jnp.ndarray,
+                            stats: RefStats, params: AlgorithmParams,
+                            coords=None) -> MultiviewCost:
+    """n_best=1 multi-view cost with the VIEW loop as a lax.scan.
+
+    With views unrolled, XLA freely interleaves all views' offset scans
+    and their working sets coexist in HBM — at the 2K x 7-source
+    operating point that faults the TPU worker. Scanning the view axis
+    forces one view's evaluation to be live at a time.
+
+    packed_data: (V, H*W, 4) stacked PackedImage payloads; A: (V, 3, 3);
+    b: (V, 3); ids/valid: (V,). Only supports n_best == 1 (the scripts'
+    operating point).
+    """
+    assert params.n_best == 1
+    # Operand-derived inits keep the shard_map varying type (see the
+    # offset-scan note in pm_cost_ab).
+    best0 = d * 0.0 + MAXCOST
+    second0 = d * 0.0 + MAXCOST
+    bidx0 = (d * 0.0).astype(jnp.int32)
+    karr = jnp.arange(ids.shape[0], dtype=jnp.int32)
+
+    def body(carry, xs):
+        best, second, bidx = carry
+        data, A_v, b_v, ok, k = xs
+        img = PackedImage(data=data, height=height, width=width)
+        c = pm_cost_ab(img, A_v, b_v, normal, d, stats, params,
+                       coords=coords)
+        c = jnp.where(ok, c, MAXCOST)
+        is_new = c < best
+        second = jnp.where(is_new, best, jnp.minimum(second, c))
+        best = jnp.where(is_new, c, best)
+        bidx = jnp.where(is_new, k, bidx)
+        return (best, second, bidx), None
+
+    (best, second, bidx), _ = jax.lax.scan(
+        body, (best0, second0, bidx0), (packed_data, A, b, valid, karr))
+    any_valid = best < MAXCOST
+    ratio = jnp.where(any_valid, best / second, 0.0)
+    best_view = jnp.where(any_valid, ids[bidx], -1)
+    return MultiviewCost(cost=best, best_view=best_view, ratio=ratio)
+
+
 def _aggregate_streaming(per_view, ids: jnp.ndarray,
                          params: AlgorithmParams) -> MultiviewCost:
     """Aggregate per-view costs from thunks. For n_best == 1 the top-2
