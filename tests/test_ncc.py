@@ -159,7 +159,7 @@ def test_rl_cost_runs_and_is_finite(setup, scene):
     d = geo.plane_d_from_depth(normal, rays, depth)
     res = ncc.multiview_cost(imgs, (1, 2), cams, normal, d, stats, params)
     rl = ncc.rl_cost_view(imgs[0], imgs, res.best_view, (1, 2), cams,
-                          normal, d, stats, params)
+                          normal, d, params)
     rl_np = np.asarray(rl)
     assert np.isfinite(rl_np).all()
     assert (rl_np >= 0).all() and (rl_np <= 2.0).all()
@@ -169,3 +169,23 @@ def test_rl_cost_runs_and_is_finite(setup, scene):
     interior[10:-10, 10:-10] = ok[10:-10, 10:-10]
     diff = np.abs(rl_np - np.asarray(res.cost))
     assert np.median(diff[interior]) < 0.1
+
+
+def test_rl_cost_fused_matches_per_view(setup, scene):
+    """The fused best-view reverse cost must equal the dense
+    evaluate-every-view-and-mask formulation bit-for-bit (same f32
+    sampling path, per-pixel factor selection on the VPU)."""
+    cams, imgs, params, stats = setup
+    H, W = scene.images.shape[1:]
+    rays = geo.pixel_rays(cams, H, W)
+    normal = jnp.asarray(scene.normal_cam[0], jnp.float32)
+    depth = jnp.asarray(np.where(np.isfinite(scene.depth[0]),
+                                 scene.depth[0], 5.0), jnp.float32)
+    d = geo.plane_d_from_depth(normal, rays, depth)
+    res = ncc.multiview_cost(imgs, (1, 2), cams, normal, d, stats, params)
+    rl_ref = ncc.rl_cost_view(imgs[0], imgs, res.best_view, (1, 2), cams,
+                              normal, d, params)
+    rl_fused = ncc.rl_cost_fused(imgs[0], imgs, res.best_view, (1, 2),
+                                 cams, normal, d, params)
+    np.testing.assert_allclose(np.asarray(rl_fused), np.asarray(rl_ref),
+                               rtol=2e-5, atol=2e-5)

@@ -10,6 +10,32 @@ from tsar_mvs_tpu.config import AlgorithmParams, FusionParams
 
 
 @pytest.mark.slow
+def test_gipuma_cli_reference_script_line(tmp_path):
+    """A scripts/courtyard.sh:44-style invocation runs verbatim: all
+    positional images, -mslp_folder/-images_folder/-krt_file/
+    -output_folder/-no_display, equals-style flags, and the script's
+    unset-shell-var artifacts (`--min_angle=`)."""
+    from tsar_mvs_tpu.utils.synthetic import make_scene
+    from tsar_mvs_tpu.cli import main
+
+    scene_gt = make_scene(height=48, width=64, num_views=3, seed=3)
+    root = scene_gt.export(tmp_path / "scene")
+    imgs = sorted(p.name for p in (root / "images").iterdir())
+    argv = list(imgs) + [
+        "-mslp_folder", str(root),
+        "-images_folder", str(root / "images"),
+        "-krt_file", "dino_par.txt",
+        "-output_folder", str(root / "results"),
+        "-no_display", "--cam_scale=1", "--iterations=1",
+        "--blocksize=11", "--cost_gamma=10", "--cost_comb=best_n",
+        "--n_best=1", "--min_angle=", "--max_angle="]
+    assert main(argv) == 0
+    out = root / "results" / imgs[0].split(".")[0]
+    assert (out / "TSAR_disp.dmb").exists()
+    assert (out / "TSAR_normals.dmb").exists()
+
+
+@pytest.mark.slow
 def test_scene_pipeline_end_to_end(tmp_path):
     from tsar_mvs_tpu.utils.synthetic import make_scene
     from tsar_mvs_tpu import pipeline
@@ -33,7 +59,10 @@ def test_scene_pipeline_end_to_end(tmp_path):
     assert (out / "TSAR_disp.dmb").exists()
     assert (out / "TSAR_normals.dmb").exists()
     assert (out / "TSAR_model.ply").exists()
-    assert "Total runtime" in (out / "TSAR_results.txt").read_text()
+    assert (out / "TSAR_slic.png").exists()
+    results_txt = (out / "TSAR_results.txt").read_text()
+    assert "Total runtime" in results_txt
+    assert "SLIC:" in results_txt and "superpixels" in results_txt
 
     depth = dmb.read_dmb(out / "TSAR_disp.dmb")
     assert depth.shape == (64, 96)

@@ -29,6 +29,7 @@ def _alg_params(ns) -> "AlgorithmParams":
                         ("cam_scale", "cam_scale"),
                         ("min_angle", "min_angle"),
                         ("max_angle", "max_angle"),
+                        ("max_disparity", "max_disparity"),
                         ("max_views", "max_views")):
         v = getattr(ns, flag, None)
         if v is not None:
@@ -38,14 +39,43 @@ def _alg_params(ns) -> "AlgorithmParams":
 
 def cmd_gipuma(argv: list[str]) -> int:
     """Reference-CLI-compatible per-view run: first positional image is
-    the reference view, the rest are sources (scripts/courtyard.sh:44)."""
+    the reference view, the rest are sources (scripts/courtyard.sh:44).
+
+    Full flag surface of getParametersFromCommandLine
+    (main.cpp:708-1009). Flags whose semantics belong to Gipuma
+    algorithm variants TSAR never runs (census/self-similarity:
+    --algorithm != pm, --ss_n, --ct_eps, --cost_tau_*, --cost_alpha,
+    --good_factor, --disp_tol, --norm_tol, --border_value,
+    -color_processing) are parsed and recorded like the reference
+    parses them, and warn when they select an unimplemented variant."""
     p = argparse.ArgumentParser(prog="tsar gipuma", add_help=False)
     p.add_argument("images", nargs="*")
+    # --- input/output paths (main.cpp:905-937) ---
     p.add_argument("-mslp_folder", dest="mslp_folder", default=".")
     p.add_argument("-images_folder", dest="images_folder", default=None)
+    p.add_argument("-p_folder", dest="p_folder", default=None)
     p.add_argument("-krt_file", dest="krt_file", default=None)
+    p.add_argument("-calib_file", dest="calib_file", default=None)
+    p.add_argument("-camera_folder", dest="camera_folder", default=None)
+    p.add_argument("-bounding_folder", dest="bounding_folder", default=None)
     p.add_argument("-output_folder", dest="output_folder", default=None)
+    p.add_argument("-o", dest="disparity_filename", default=None)
+    p.add_argument("--pmvs_folder", dest="pmvs_folder", default=None)
+    p.add_argument("--camera_idx", type=int, default=0)
+    p.add_argument("--initial_seed", dest="seed_file", default=None)
     p.add_argument("-no_display", action="store_true")
+    # --- GT check (main.cpp:741-744,871-882) ---
+    p.add_argument("-gt", dest="gt", default=None)
+    p.add_argument("-gt_nocc", dest="gt_nocc", default=None)
+    p.add_argument("-occl_mask", dest="occl_mask", default=None)
+    p.add_argument("-gt_normal", dest="gt_normal", default=None)
+    p.add_argument("--gtDepth_divisionFactor", type=float, default=1.0)
+    p.add_argument("--gtDepth_tolerance", type=float, default=1.0)
+    p.add_argument("--gtDepth_tolerance2", type=float, default=0.1)
+    # --- algorithm knobs ---
+    p.add_argument("--algorithm", default="pm")
+    p.add_argument("--max-disparity", dest="max_disparity", type=float,
+                   default=None)
     p.add_argument("--cam_scale", type=float, default=1.0)
     p.add_argument("--iterations", type=int, default=8)
     p.add_argument("--blocksize", type=int, default=11)
@@ -55,18 +85,94 @@ def cmd_gipuma(argv: list[str]) -> int:
     p.add_argument("--min_angle", type=float, default=5.0)
     p.add_argument("--max_angle", type=float, default=45.0)
     p.add_argument("--max_views", type=int, default=14)
-    ns, _unknown = p.parse_known_args(argv)
+    p.add_argument("--depth_min", type=float, default=None)
+    p.add_argument("--depth_max", type=float, default=None)
+    p.add_argument("--num_img_processed", type=int, default=1)
+    p.add_argument("-view_selection", action="store_true")
+    # --- parsed-and-recorded Gipuma-variant knobs ---
+    p.add_argument("--cost_tau_color", type=float, default=None)
+    p.add_argument("--cost_tau_gradient", type=float, default=None)
+    p.add_argument("--cost_alpha", type=float, default=None)
+    p.add_argument("--good_factor", type=float, default=None)
+    p.add_argument("--disp_tol", type=float, default=None)
+    p.add_argument("--norm_tol", type=float, default=None)
+    p.add_argument("--ss_n", type=int, default=None)
+    p.add_argument("--ct_eps", type=float, default=None)
+    p.add_argument("--border_value", type=int, default=None)
+    p.add_argument("--no_texture_sim", type=float, default=None)
+    p.add_argument("--no_texture_per", type=float, default=None)
+    p.add_argument("-color_processing", action="store_true")
+    # Reference scripts pass unset shell vars as empty values
+    # (`--min_angle=`, scripts/courtyard.sh:44); sscanf ignores them —
+    # drop such tokens so a script line runs verbatim.
+    argv = [a for a in argv if not (a.startswith("-") and a.endswith("="))]
+    ns, unknown = p.parse_known_args(argv)
+    for u in unknown:
+        print(f"Command-line parameter warning: unknown option {u}")
+    if ns.algorithm != "pm":
+        print(f"warning: --algorithm={ns.algorithm} selects a Gipuma "
+              "variant TSAR does not run; proceeding with pm (NCC)")
 
     from tsar_mvs_tpu import pipeline
-    scene = pipeline.load_scene(Path(ns.mslp_folder))
+    scene = pipeline.load_scene(Path(ns.mslp_folder),
+                                images_folder=ns.images_folder,
+                                p_folder=ns.p_folder,
+                                calib_file=ns.calib_file,
+                                depth_min=ns.depth_min,
+                                depth_max=ns.depth_max)
     ref_name = Path(ns.images[0]).stem if ns.images else scene.names[0]
     ref_idx = scene.names.index(ref_name)
     params = _alg_params(ns)
+    if ns.bounding_folder:
+        # Bounding volume (readBoundingVolume, fileIoUtils.h:56-68):
+        # clamp the depth range to the box corners' depth in the ref view.
+        scene = _apply_bounding_volume(scene, ref_idx, ns.bounding_folder)
     out_dir = None
     if ns.output_folder:
         out_dir = Path(ns.output_folder) / ref_name
-    pipeline.process_view(scene, ref_idx, params, out_dir=out_dir)
+    result = pipeline.process_view(scene, ref_idx, params, out_dir=out_dir,
+                                   write_vis=not ns.no_display)
+
+    if ns.gt:
+        # GT harness on the gipuma surface (main.cpp:741-744 semantics:
+        # disparity error with tolerance + optional occlusion mask).
+        import json
+        from tsar_mvs_tpu import eval as ev
+        from tsar_mvs_tpu.utils.dmb import read_dmb
+        from tsar_mvs_tpu.utils.synthetic import read_png_gray
+        gt = read_dmb(ns.gt) / ns.gtDepth_divisionFactor
+        occl = read_png_gray(ns.occl_mask) if ns.occl_mask else None
+        r = ev.depth_error(result.depth, gt,
+                           tolerance=ns.gtDepth_tolerance, occl_mask=occl)
+        out = {"error": r.error, "error_nocc": r.error_nocc,
+               "error_valid": r.error_valid}
+        if ns.gt_normal:
+            nr = ev.normal_error(result.normal_world, read_dmb(ns.gt_normal))
+            out["normal_mean_deg"] = nr.mean_deg
+        print(json.dumps(out))
     return 0
+
+
+def _apply_bounding_volume(scene, ref_idx: int, bounding_folder: str):
+    """Tighten the scene depth range from a per-scene bounding volume:
+    project the 8 box corners into the reference camera and clamp
+    [depth_min, depth_max] to their depth extent."""
+    import dataclasses
+    import numpy as np
+    from tsar_mvs_tpu import geometry as geo
+    from tsar_mvs_tpu.utils import scene_io
+    bv = Path(bounding_folder)
+    candidates = sorted(bv.glob("*.txt")) or [bv]
+    bl, tr = scene_io.read_bounding_volume(candidates[0])
+    corners = np.array([[x, y, z] for x in (bl[0], tr[0])
+                        for y in (bl[1], tr[1]) for z in (bl[2], tr[2])])
+    P = scene.P[ref_idx]
+    depths = (P[2, :3] @ corners.T) + P[2, 3]
+    dmin = float(max(depths.min(), 1e-6))
+    dmax = float(depths.max())
+    lo = max(scene.depth_min, dmin) if scene.depth_min > 0 else dmin
+    hi = min(scene.depth_max, dmax) if scene.depth_max > 0 else dmax
+    return dataclasses.replace(scene, depth_min=lo, depth_max=hi)
 
 
 def cmd_scene(argv: list[str]) -> int:

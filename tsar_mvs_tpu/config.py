@@ -41,8 +41,6 @@ class AlgorithmParams:
     n_best: int = 1
     # Weight-function gamma (reference: gamma, used by hasImageTexture).
     gamma: float = 10.0
-    # Valid-cost ceiling for a single view (reference: MAXCOST).
-    max_cost: float = 1e4
     # Depth range; loaded from cams/xxxx_cam.txt view 0
     # (fileIoUtils.h:145-153); disparities derived via f*baseline/depth.
     depth_min: float = -1.0
@@ -82,13 +80,14 @@ class AlgorithmParams:
     ransac_thr_max: float = 0.003
     ransac_thr_step: float = 0.0001
     # Ring of reliable pixels around a weak region also feeding its plane
-    # fit. The reference collects points strictly inside the region
-    # (main.cpp:1526-1535) because its APD prior provides usable interior
-    # depths; a from-scratch prior benefits from anchoring the fit on the
-    # coplanar textured surround as well. 0 disables (reference behavior).
-    ransac_ring: int = 4
-    # SLIC (reference: main.cpp:609-615).
-    slic_num_segs: int = 4256
+    # fit. Default 0 = the reference behavior (points strictly inside the
+    # region, main.cpp:1526-1535). A from-scratch prior can benefit from
+    # anchoring the fit on the coplanar textured surround: set > 0 to
+    # dilate the support (opt-in divergence).
+    ransac_ring: int = 0
+    # SLIC (reference: main.cpp:609-615). The reference configures
+    # GIVEN_SIZE, so spixel_size governs the segment count; no_segs=4256
+    # is informational there and is derived here from the image size.
     slic_spixel_size: int = 20
     slic_coh_weight: float = 5.0
     slic_iters: int = 5

@@ -71,6 +71,22 @@ def random_init(key: jax.Array, imgs: jnp.ndarray,
     uniform in [min_disparity, max_disparity] -> depth; normal uniform on
     the view-facing hemisphere."""
     H, W = imgs.shape[1:]
+
+    def cost_fn(n, d, parity=None):
+        return ncc.multiview_cost(imgs, view_ids, cams, n, d, stats,
+                                  params)
+
+    return random_init_with(key, (H, W), cams, stats.rays, cost_fn, params)
+
+
+def random_init_with(key: jax.Array, shape: tuple[int, int],
+                     cams: geo.CameraSet, rays: jnp.ndarray, cost_fn,
+                     params: AlgorithmParams) -> PlaneState:
+    """Random plane init evaluated through `cost_fn(n, d, parity=None)` —
+    the SAME cost evaluator the iteration loop uses, so the stored init
+    costs are bit-consistent with loop candidate costs (a mixed f32/bf16
+    init flips accept decisions from iteration 0)."""
+    H, W = shape
     k_disp, k_norm = jax.random.split(key)
     disp = jax.random.uniform(k_disp, (H, W), jnp.float32,
                               params.min_disparity, params.max_disparity)
@@ -81,8 +97,8 @@ def random_init(key: jax.Array, imgs: jnp.ndarray,
     n = geo.normalize(n)
     vv = geo.view_vectors(cams, H, W)
     n = geo.hemisphere_flip(n, vv)
-    d = geo.plane_d_from_depth(n, stats.rays, depth)
-    mv = ncc.multiview_cost(imgs, view_ids, cams, n, d, stats, params)
+    d = geo.plane_d_from_depth(n, rays, depth)
+    mv = cost_fn(n, d, None)
     return PlaneState(normal=n, d=d, cost=mv.cost, ratio=mv.ratio,
                       best_view=mv.best_view)
 
@@ -388,8 +404,8 @@ def run_patchmatch(key: jax.Array, imgs: jnp.ndarray,
     cost_fn, pctx = _make_cost_and_ctx(stats, cams, H, W, eval_view_cost)
 
     if init_state is None:
-        init_state = random_init(init_key, imgs, view_ids, cams, stats,
-                                 params)
+        init_state = random_init_with(init_key, (H, W), cams, stats.rays,
+                                      cost_fn, params)
     iters = params.iterations if iterations is None else iterations
     step = make_patchmatch_step(cost_fn, stats.rays, cams, params,
                                 pctx=pctx)
@@ -485,16 +501,8 @@ def patchmatch_one_ref(key: jax.Array, imgs: jnp.ndarray,
     cost_fn, pctx = _make_cost_and_ctx(stats, cams, H, W, eval_view_cost)
 
     init_key, key = jax.random.split(key)
-    k_disp, k_norm = jax.random.split(init_key)
-    disp = jax.random.uniform(k_disp, (H, W), jnp.float32,
-                              params.min_disparity, params.max_disparity)
-    depth = geo.disparity_depth(cams.f, cams.baseline, disp)
-    n = geo.normalize(jax.random.normal(k_norm, (H, W, 3), jnp.float32))
-    n = geo.hemisphere_flip(n, geo.view_vectors(cams, H, W))
-    d0 = geo.plane_d_from_depth(n, stats.rays, depth)
-    mv = cost_fn(n, d0, None)
-    init_state = PlaneState(normal=n, d=d0, cost=mv.cost, ratio=mv.ratio,
-                            best_view=mv.best_view)
+    init_state = random_init_with(init_key, (H, W), cams, stats.rays,
+                                  cost_fn, params)
 
     step = make_patchmatch_step(cost_fn, stats.rays, cams, params,
                                 pctx=pctx)

@@ -55,10 +55,11 @@ def confidence_stage(imgs: jnp.ndarray, view_ids: tuple[int, ...],
                      params: AlgorithmParams):
     """gipuma_getlrdiff + gipuma_getview (gipuma.cu:1160-1213): reverse
     cost at the best view, lrdiff = |c - rc| clamped to 1, confidence
-    ((2-c)/2 + (1-lrdiff))/2, plus the per-pixel disparity map."""
-    stats = ncc.precompute_ref_stats(imgs[0], cams, params)
-    rl = ncc.rl_cost_view(imgs[0], imgs, state.best_view, view_ids, cams,
-                          state.normal, state.d, stats, params)
+    ((2-c)/2 + (1-lrdiff))/2, plus the per-pixel disparity map. The
+    reverse cost runs once per pixel at its best view (fused gather),
+    exactly as the reference does — not once per view."""
+    rl = ncc.rl_cost_fused(imgs[0], imgs, state.best_view, view_ids, cams,
+                           state.normal, state.d, params)
     lrdiff = jnp.minimum(jnp.abs(state.cost - rl), params.lr_diff_clamp)
     confid = ((2.0 - state.cost) / 2.0 + (1.0 - lrdiff)) / 2.0
     H, W = imgs.shape[1:]

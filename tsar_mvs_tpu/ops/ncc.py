@@ -386,27 +386,97 @@ def aggregate_view_costs(costs: jnp.ndarray, ids: jnp.ndarray,
 def rl_cost_view(ref_img: jnp.ndarray, src_imgs: jnp.ndarray,
                  best_view: jnp.ndarray, view_ids: Sequence[int],
                  cams: CameraSet, normal: jnp.ndarray, d: jnp.ndarray,
-                 stats: RefStats, params: AlgorithmParams) -> jnp.ndarray:
+                 params: AlgorithmParams) -> jnp.ndarray:
     """Reverse (source-to-reference) NCC cost at each pixel's best view
     (rlCost, gipuma.cu:300-392): the window is taken around the warped
     center in the *source* image and mapped back through H^-1.
 
     best_view: (H, W) int32 of per-pixel best view ids. Evaluates the
     reverse cost against every selected view and picks each pixel's via
-    masking (dense TPU-style select instead of data-dependent dispatch).
+    masking. Kept as the oracle for `rl_cost_fused` (which does the same
+    work in one pass); V x the gathers of the fused path.
     """
     out = jnp.zeros_like(d)
     for v in view_ids:
         c_v = _rl_cost_single(ref_img, src_imgs[v], cams, v, normal, d,
-                              stats, params)
+                              params)
         out = jnp.where(best_view == v, c_v, out)
     return out
 
 
+def rl_cost_fused(ref_img: jnp.ndarray, src_imgs: jnp.ndarray,
+                  best_view: jnp.ndarray, view_ids: Sequence[int],
+                  cams: CameraSet, normal: jnp.ndarray, d: jnp.ndarray,
+                  params: AlgorithmParams) -> jnp.ndarray:
+    """`rl_cost_view` in a single pass: the reference evaluates ONE
+    reverse cost per pixel — at its best view (gipuma_getlrdiff,
+    gipuma.cu:1160-1186) — so instead of evaluating every view densely
+    and masking (V x the work), select each pixel's warp factors A/b on
+    the VPU (a sum of one-hot products over the small static view set)
+    and fetch samples from the stacked packed sources with a fused
+    index base = best_view * H * W. Exactly the same values as
+    `rl_cost_view` (same f32 sampling; tested in tests/test_ncc.py).
+    """
+    H, W = ref_img.shape
+    bv = best_view
+
+    # Per-pixel warp factors: exactly one term is live per pixel.
+    A_px = [[jnp.zeros((), jnp.float32) for _ in range(3)]
+            for _ in range(3)]
+    b_px = [jnp.zeros((), jnp.float32) for _ in range(3)]
+    for v in view_ids:
+        m = (bv == v).astype(jnp.float32)
+        for r in range(3):
+            for c in range(3):
+                A_px[r][c] = A_px[r][c] + cams.A[v, r, c] * m
+            b_px[r] = b_px[r] + cams.b[v, r] * m
+
+    # Stacked 4-corner-packed sources: one gather per bilinear sample,
+    # per-pixel view selection folded into the index.
+    packed = [pack_image(src_imgs[v]) for v in range(src_imgs.shape[0])]
+    stack = jnp.stack([p.data for p in packed]).reshape(-1, 4)  # (V*H*W, 4)
+    base = jnp.maximum(bv, 0).astype(jnp.int32) * (H * W)
+
+    def sample_src(x, y):
+        x = jnp.clip(x, 0.0, W - 1.0)
+        y = jnp.clip(y, 0.0, H - 1.0)
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = x - x0
+        fy = y - y0
+        idx = base + y0.astype(jnp.int32) * W + x0.astype(jnp.int32)
+        v4 = jnp.take(stack, idx, axis=0)
+        top = v4[..., 0] + (v4[..., 1] - v4[..., 0]) * fx
+        bot = v4[..., 2] + (v4[..., 3] - v4[..., 2]) * fx
+        return top + (bot - top) * fy
+
+    cost = _rl_cost_from_factors(ref_img, sample_src, A_px, b_px, cams,
+                                 normal, d, params)
+    return jnp.where(bv >= 0, cost, 0.0)
+
+
 def _rl_cost_single(ref_img: jnp.ndarray, src_img: jnp.ndarray,
                     cams: CameraSet, view: int, normal: jnp.ndarray,
-                    d: jnp.ndarray, stats: RefStats,
+                    d: jnp.ndarray,
                     params: AlgorithmParams) -> jnp.ndarray:
+    A = cams.A[view]
+    b = cams.b[view]
+    A_l = [[A[r, c] for c in range(3)] for r in range(3)]
+    b_l = [b[r] for r in range(3)]
+
+    def sample_src(x, y):
+        return bilinear_sample(src_img, x, y)
+
+    return _rl_cost_from_factors(ref_img, sample_src, A_l, b_l, cams,
+                                 normal, d, params)
+
+
+def _rl_cost_from_factors(ref_img: jnp.ndarray, sample_src, A, b,
+                          cams: CameraSet, normal: jnp.ndarray,
+                          d: jnp.ndarray,
+                          params: AlgorithmParams) -> jnp.ndarray:
+    """Reverse NCC cost given warp factors A (3x3 nested list of scalars
+    or per-pixel maps), b (3-list) and a source sampler closure."""
     H, W = ref_img.shape
     offsets = window_offsets(params)
     inv_2ss = 1.0 / (2.0 * params.sigma_spatial * params.sigma_spatial)
@@ -415,8 +485,6 @@ def _rl_cost_single(ref_img: jnp.ndarray, src_img: jnp.ndarray,
     # Explicit per-pixel homography H = A - b (K^-T n)^T / d and its
     # inverse via adjugate (the reference inverts H in-kernel,
     # gipuma.cu:316-337).
-    A = cams.A[view]
-    b = cams.b[view]
     Kinv = cams.K_inv[0]
     # m = K^-T n  (3 components, per pixel)
     m0 = (Kinv[0, 0] * normal[..., 0] + Kinv[1, 0] * normal[..., 1]
@@ -426,9 +494,9 @@ def _rl_cost_single(ref_img: jnp.ndarray, src_img: jnp.ndarray,
     m2 = (Kinv[0, 2] * normal[..., 0] + Kinv[1, 2] * normal[..., 1]
           + Kinv[2, 2] * normal[..., 2])
     inv_d = 1.0 / d
-    Hm = [[A[r, 0] - b[r] * m0 * inv_d,
-           A[r, 1] - b[r] * m1 * inv_d,
-           A[r, 2] - b[r] * m2 * inv_d] for r in range(3)]
+    Hm = [[A[r][0] - b[r] * m0 * inv_d,
+           A[r][1] - b[r] * m1 * inv_d,
+           A[r][2] - b[r] * m2 * inv_d] for r in range(3)]
 
     # Adjugate / determinant inverse.
     c00 = Hm[1][1] * Hm[2][2] - Hm[1][2] * Hm[2][1]
@@ -452,7 +520,7 @@ def _rl_cost_single(ref_img: jnp.ndarray, src_img: jnp.ndarray,
     cz = Hm[2][0] * xx + Hm[2][1] * yy + Hm[2][2]
     cx_ = (Hm[0][0] * xx + Hm[0][1] * yy + Hm[0][2]) / cz
     cy_ = (Hm[1][0] * xx + Hm[1][1] * yy + Hm[1][2]) / cz
-    cen_pix = bilinear_sample(src_img, cx_, cy_)
+    cen_pix = sample_src(cx_, cy_)
 
     # Same lax.scan-over-offsets structure as pm_cost_ab: bounds live
     # gather buffers to one offset (unrolled, the scheduler materializes
@@ -466,7 +534,7 @@ def _rl_cost_single(ref_img: jnp.ndarray, src_img: jnp.ndarray,
         i, j, spatial = ij_o[0], ij_o[1], ij_o[2]
         plx = cx_ + i
         ply = cy_ + j
-        ref_pix = bilinear_sample(src_img, plx, ply) - cen_pix
+        ref_pix = sample_src(plx, ply) - cen_pix
         prz = Vm[2][0] * plx + Vm[2][1] * ply + Vm[2][2]
         prx = (Vm[0][0] * plx + Vm[0][1] * ply + Vm[0][2]) / prz
         pry = (Vm[1][0] * plx + Vm[1][1] * ply + Vm[1][2]) / prz

@@ -12,11 +12,13 @@ Rebuild of the reference's two WMF kernels (gipuma.cu:1294-1698):
   gap 2^i, i = 0..5) that *fill* still-unreliable textured pixels with
   the weighted median plane when at least 32/2^i reliable samples exist.
 
-The per-pixel insertion sorts over <=121 gathered samples become
-`jax.lax.sort` with the weight (and donor offset index) carried as
-payload; the sample grid is a static stencil, so everything is shifts +
-sorts — no gathers. Row-chunking bounds the (samples, rows, W)
-intermediate so full-resolution images fit in memory.
+The per-pixel insertion sorts over <=121 gathered samples become a
+radix bit-descent weighted median (`_weighted_median`) — pure VPU
+compare/FMA/reduce work with the donor offset index recovered by an
+index descent over the tied keys; the sample grid is a static stencil,
+so everything is shifts + elementwise math — no gathers, no sorts.
+Row-chunking bounds the (samples, rows, W) intermediate so
+full-resolution images fit in memory.
 
 Weighted-median semantics match the reference exactly: components
 (nx, ny, nz) take independent weighted medians; disparity's weighted
@@ -54,22 +56,75 @@ class _MedianResult(NamedTuple):
     num: jnp.ndarray         # (H, W) int32 count of valid samples
 
 
+def _float_to_ordered_uint(x: jnp.ndarray) -> jnp.ndarray:
+    """Monotone bijection float32 -> uint32: a < b  <=>  map(a) < map(b)
+    (the standard sign-flip trick). Lets order statistics run as integer
+    bit descents instead of sorts. -0.0 canonicalizes to +0.0 so the
+    ordering agrees with float comparison semantics."""
+    x = jnp.where(x == 0.0, 0.0, x)
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    neg = (bits >> 31) == 1
+    return jnp.where(neg, ~bits, bits | jnp.uint32(0x80000000))
+
+
+def _ordered_uint_to_float(u: jnp.ndarray) -> jnp.ndarray:
+    neg = (u >> 31) == 0
+    bits = jnp.where(neg, ~u, u & jnp.uint32(0x7FFFFFFF))
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
 def _weighted_median(key: jnp.ndarray, weight: jnp.ndarray,
                      payload: jnp.ndarray | None = None):
-    """Weighted median along axis 0. Invalid samples must carry weight 0
-    and key +inf. Returns (median_key, median_payload?)."""
-    operands = [key, weight] if payload is None else [key, weight, payload]
-    sorted_ops = jax.lax.sort(operands, dimension=0, num_keys=1)
-    s_key, s_w = sorted_ops[0], sorted_ops[1]
-    csum = jnp.cumsum(s_w, axis=0)
-    half = csum[-1] * 0.5
-    # First index with cumulative weight >= half (wAcc >= wSum/2).
-    reached = csum >= half[None]
-    idx = jnp.argmax(reached, axis=0)
-    med = jnp.take_along_axis(s_key, idx[None], axis=0)[0]
+    """Weighted median along axis 0: the smallest sample key k* whose
+    cumulative weight (in stably-sorted order) reaches half the total
+    (the wAcc >= wSum/2 crossing, gipuma.cu:1651-1667). Invalid samples
+    must carry weight 0 and key +inf. Returns (median_key,
+    median_payload?).
+
+    Implemented as a 32-step radix bit descent on the order-preserving
+    uint32 image of the keys instead of `jax.lax.sort`: XLA's TPU
+    multi-operand sort of a 121-deep axis ran ~4.5 s per WMF pass at
+    672x1024 (PERF.md #3); the descent is pure VPU compare/FMA/reduce
+    work (~milliseconds). Semantics match the sort formulation exactly
+    up to float summation order (tested bit-exact on dyadic weights,
+    tests/test_wmf.py).
+    """
+    u = _float_to_ordered_uint(key)                      # (O, ...)
+    half = jnp.sum(weight, axis=0) * 0.5
+
+    def bit_step(i, prefix):
+        mid = prefix | (jnp.uint32(1) << (jnp.uint32(31) - i))
+        below = jnp.sum(jnp.where(u < mid[None], weight, 0.0), axis=0)
+        # If the weight strictly below `mid` misses half, the crossing
+        # value has this bit set.
+        return jnp.where(below < half, mid, prefix)
+
+    med_u = jax.lax.fori_loop(
+        jnp.uint32(0), jnp.uint32(32), bit_step,
+        jnp.zeros(key.shape[1:], jnp.uint32))
+    med = _ordered_uint_to_float(med_u)
     if payload is None:
         return med
-    med_p = jnp.take_along_axis(sorted_ops[2], idx[None], axis=0)[0]
+
+    # Tie-break within equal keys by original sample index (= stable-sort
+    # order): smallest index whose running weight reaches half.
+    at = u == med_u[None]
+    w_at = jnp.where(at, weight, 0.0)
+    base = jnp.sum(jnp.where(u < med_u[None], weight, 0.0), axis=0)
+    O = key.shape[0]
+    oidx = jax.lax.broadcasted_iota(jnp.uint32, key.shape, 0)
+    nbits = max(1, (O - 1).bit_length())
+
+    def idx_step(i, prefix):
+        mid = prefix | (jnp.uint32(1) << (jnp.uint32(nbits - 1) - i))
+        below = base + jnp.sum(jnp.where(oidx < mid[None], w_at, 0.0),
+                               axis=0)
+        return jnp.where(below < half, mid, prefix)
+
+    med_i = jax.lax.fori_loop(jnp.uint32(0), jnp.uint32(nbits), idx_step,
+                              jnp.zeros(key.shape[1:], jnp.uint32))
+    med_i = jnp.minimum(med_i, jnp.uint32(O - 1)).astype(jnp.int32)
+    med_p = jnp.take_along_axis(payload, med_i[None], axis=0)[0]
     return med, med_p
 
 

@@ -37,6 +37,7 @@ from tsar_mvs_tpu.models import fusion as fusion_mod
 from tsar_mvs_tpu.models import patchmatch as pm
 from tsar_mvs_tpu.models import tsar
 from tsar_mvs_tpu.models import weak_texture as wt
+from tsar_mvs_tpu.ops import slic as slic_mod
 from tsar_mvs_tpu.utils import dmb, ply, scene_io
 from tsar_mvs_tpu.utils.pfm import read_pfm
 from tsar_mvs_tpu.utils.synthetic import read_png_gray
@@ -53,34 +54,72 @@ class Scene:
     pair: scene_io.PairFile
 
 
-def load_scene(root: str | Path) -> Scene:
+def load_scene(root: str | Path, images_folder: str | Path | None = None,
+               p_folder: str | Path | None = None,
+               calib_file: str | Path | None = None,
+               depth_min: float | None = None,
+               depth_max: float | None = None) -> Scene:
+    """Load a scene with the reference's camera-source precedence
+    (getCameraParameters, cameraGeometryUtils.h:174-240): KITTI
+    `calib_file` (two views) > Strecha `p_folder` (`<name>.P` files) >
+    Middlebury `cams/<name>_cam.txt` (the krt path, which also supplies
+    the depth range from view 0). `images_folder` overrides where the
+    view images load from (main.cpp:1302)."""
     root = Path(root)
-    img_dir = root / "images"
-    names = sorted({p.stem for p in img_dir.iterdir()
-                    if p.suffix in (".png", ".pfm")})
+    img_dir = Path(images_folder) if images_folder else root / "images"
+    exts = (".png", ".pfm", ".jpg", ".jpeg", ".JPG")
+    paths = {}
+    for p in sorted(img_dir.iterdir()):
+        if p.suffix in exts and p.stem not in paths:
+            paths[p.stem] = p
+    names = sorted(paths)
     images = []
     P_list = []
-    depth_min = depth_max = None
     for name in names:
-        png = img_dir / f"{name}.png"
-        pfm = img_dir / f"{name}.pfm"
-        if pfm.exists():
-            img = read_pfm(pfm)
-            if img.ndim == 3:
-                img = img.mean(axis=-1)
-        else:
-            img = read_png_gray(png)
-        images.append(np.asarray(img, np.float32))
-        cam = scene_io.read_cam_file(root / "cams" / f"{name}_cam.txt")
-        P_list.append(cam.P)
-        if depth_min is None:
-            depth_min, depth_max = cam.depth_min, cam.depth_max
+        images.append(_read_gray(paths[name]))
+
+    if calib_file is not None:
+        P0, P1 = scene_io.read_kitti_calib(calib_file)
+        if len(names) != 2:
+            raise ValueError("-calib_file is a two-view (KITTI) contract; "
+                             f"got {len(names)} images")
+        P_list = [P0, P1]
+    elif p_folder is not None:
+        p_folder = Path(p_folder)
+        for name in names:
+            p_path = p_folder / f"{name}.P"
+            if not p_path.exists():  # reference appends to the full
+                p_path = p_folder / f"{name}.png.P"  # filename (.png.P)
+            P_list.append(scene_io.read_p_file(p_path))
+    else:
+        for name in names:
+            cam = scene_io.read_cam_file(root / "cams" / f"{name}_cam.txt")
+            P_list.append(cam.P)
+            if depth_min is None:
+                depth_min, depth_max = cam.depth_min, cam.depth_max
+    if depth_min is None:
+        depth_min, depth_max = -1.0, -1.0
+
     pair_path = root / "pair.txt"
     pair = (scene_io.read_pair_file(pair_path) if pair_path.exists()
             else scene_io.PairFile())
     return Scene(root=root, names=names, images=np.stack(images),
                  P=np.stack(P_list), depth_min=float(depth_min),
                  depth_max=float(depth_max), pair=pair)
+
+
+def _read_gray(path: Path) -> np.ndarray:
+    """Grayscale float32 image from .pfm/.png/.jpg (the reference reads
+    every view IMREAD_GRAYSCALE, main.cpp:1302)."""
+    if path.suffix == ".pfm":
+        img = read_pfm(path)
+        if img.ndim == 3:
+            img = img.mean(axis=-1)
+        return np.asarray(img, np.float32)
+    if path.suffix == ".png":
+        return np.asarray(read_png_gray(path), np.float32)
+    from PIL import Image
+    return np.asarray(Image.open(path).convert("L"), np.float32)
 
 
 def view_image_order(scene: Scene, ref_idx: int, max_views: int,
@@ -115,6 +154,32 @@ def default_params_for_scene(scene: Scene,
     return params.with_depth_range(scene.depth_min, scene.depth_max, f)
 
 
+def run_slic_stage(gray: np.ndarray, params: AlgorithmParams
+                   ) -> tuple[np.ndarray, slic_mod.SlicResult]:
+    """SLIC superpixels on the quarter-scale reference image + graph
+    build (gslic, main.cpp:598-662: 2x pyrDown then gSLICr with
+    spixel_size=20, coh_weight=5, 5 iters, no connectivity; the
+    adjacency/membership/border lists the TSAR authors appended are
+    built by `ops.slic.superpixel_graph_host` from the labels).
+
+    Returns (full-resolution nearest-upsampled labels, quarter-scale
+    SlicResult)."""
+    q = pm.downsample_2x(pm.downsample_2x(jnp.asarray(gray, jnp.float32)))
+    feat = slic_mod.gray_to_feature(q)
+    res = slic_mod.slic(feat, spixel_size=params.slic_spixel_size,
+                        coh_weight=params.slic_coh_weight,
+                        n_iters=params.slic_iters)
+    lab = np.asarray(res.labels)
+    lab_full = np.repeat(np.repeat(lab, 4, axis=0), 4, axis=1)
+    H, W = gray.shape
+    lab_full = lab_full[:H, :W]
+    if lab_full.shape != (H, W):  # odd sizes: edge-pad
+        lab_full = np.pad(lab_full, ((0, H - lab_full.shape[0]),
+                                     (0, W - lab_full.shape[1])),
+                          mode="edge")
+    return lab_full, res
+
+
 def process_view(scene: Scene, ref_idx: int,
                  params: AlgorithmParams | None = None,
                  key: jax.Array | None = None,
@@ -139,6 +204,12 @@ def process_view(scene: Scene, ref_idx: int,
 
     name = scene.names[ref_idx]
     weak = wt.detect_weak_texture(scene.images[ref_idx], params)
+    # SLIC superpixels on the quarter-scale image (main.cpp:598-662 runs
+    # unconditionally before the matcher); the graph lists mirror the A/B/C
+    # build the snapshot max-prints (gSLICr_seg_engine.cpp:46-149).
+    slic_labels, slic_res = run_slic_stage(scene.images[ref_idx], params)
+    slic_adj, slic_sizes, slic_borders = \
+        slic_mod.superpixel_graph_host(slic_res.labels)
 
     prior_dir = scene.root / "APD" / name
     imgs_j = jnp.asarray(imgs, jnp.float32)
@@ -181,6 +252,14 @@ def process_view(scene: Scene, ref_idx: int,
     out_dir.mkdir(parents=True, exist_ok=True)
     dmb.write_dmb(out_dir / "TSAR_disp.dmb", result.depth)
     dmb.write_dmb(out_dir / "TSAR_normals.dmb", result.normal_world)
+    # SLIC boundary visualization (Draw_Segmentation_Result +
+    # main.cpp:655-657 write it unconditionally).
+    from tsar_mvs_tpu.utils import display as _display
+    _display.write_png(out_dir / "TSAR_slic.png",
+                       _display.slic_boundaries_for_display(
+                           np.asarray(slic_res.labels),
+                           np.asarray(pm.downsample_2x(pm.downsample_2x(
+                               jnp.asarray(scene.images[ref_idx]))))))
     if write_ply:
         cams_world = geo.build_camera_set([scene.P[i] for i in order],
                                           cam_scale=params.cam_scale,
@@ -202,8 +281,14 @@ def process_view(scene: Scene, ref_idx: int,
                               result.confidence))
         display.write_parameters_file(out_dir / "TSAR_params.txt", params)
     runtime = time.time() - t0
-    (out_dir / "TSAR_results.txt").open("a").write(
-        f"Total runtime: {runtime:.3f} sec ( {runtime / 60.0:.3f} min)\n")
+    with (out_dir / "TSAR_results.txt").open("a") as fh:
+        fh.write(f"Total runtime: {runtime:.3f} sec "
+                 f"( {runtime / 60.0:.3f} min)\n")
+        # The reference max-prints the superpixel graph stats
+        # (gSLICr_seg_engine.cpp:46-149); log them per view.
+        fh.write(f"SLIC: {len(slic_sizes)} superpixels, "
+                 f"{sum(len(v) for v in slic_adj.values()) // 2} "
+                 f"adjacencies, {len(slic_borders)} shared borders\n")
     return result
 
 

@@ -83,6 +83,23 @@ def confidence_for_display(conf: np.ndarray) -> np.ndarray:
                    255).astype(np.uint8)
 
 
+def slic_boundaries_for_display(labels: np.ndarray,
+                                gray: np.ndarray) -> np.ndarray:
+    """Superpixel boundary overlay (Draw_Segmentation_Result_device,
+    gSLICr_seg_engine_GPU.cu:365-379: boundary pixels painted red over
+    the input). Grayscale writer fallback: boundaries go white."""
+    lab = np.asarray(labels)
+    H, W = lab.shape
+    edge = np.zeros((H, W), bool)
+    edge[:, :-1] |= lab[:, :-1] != lab[:, 1:]
+    edge[:-1, :] |= lab[:-1, :] != lab[1:, :]
+    g = np.clip(np.asarray(gray, np.float64), 0, 255).astype(np.uint8)
+    g = g[:H, :W]
+    rgb = np.stack([g, g, g], axis=-1)
+    rgb[edge] = (255, 0, 0)
+    return rgb
+
+
 def write_png(path: str | Path, img: np.ndarray) -> bool:
     """Write a uint8 grayscale or RGB image. Returns False when no
     writer is available (PIL absent and image is RGB)."""

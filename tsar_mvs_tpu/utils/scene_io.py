@@ -124,6 +124,33 @@ def write_pair_file(path: str | Path, pair: PairFile) -> None:
     Path(path).write_text("\n".join(lines) + "\n")
 
 
+def read_kitti_calib(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
+    """KITTI calib file: first two lines hold P0 and P1 as 12 numbers
+    (readCalibFileKitti, fileIoUtils.h:44-54; leading 'P0:'/'P1:' tags
+    are skipped like the reference's strtok filter)."""
+    lines = Path(path).read_text().splitlines()
+    Ps = []
+    for line in lines:
+        vals = [float(t) for t in line.replace(":", " ").split()
+                if _is_number(t)]
+        if len(vals) >= 12:
+            Ps.append(np.array(vals[:12]).reshape(3, 4))
+        if len(Ps) == 2:
+            break
+    if len(Ps) != 2:
+        raise ValueError(f"{path}: expected two projection-matrix lines")
+    return Ps[0], Ps[1]
+
+
+def read_bounding_volume(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
+    """Bounding volume file: two lines with the bottom-left and top-right
+    3-D corners (readBoundingVolume, fileIoUtils.h:56-68)."""
+    lines = [ln for ln in Path(path).read_text().splitlines() if ln.strip()]
+    bl = np.array([float(t) for t in lines[0].split()[:3]])
+    tr = np.array([float(t) for t in lines[1].split()[:3]])
+    return bl, tr
+
+
 def read_p_file(path: str | Path) -> np.ndarray:
     """Strecha/PMVS 3x4 P matrix, one row per line
     (fileIoUtils.h:83-110). Skips a leading 'CONTOUR' line if present."""
