@@ -106,13 +106,48 @@ def test_fuse_sharded_matches_host(small_scene):
     normals = jnp.asarray(scene.normal_world, jnp.float32)
     fp = FusionParams(used_list=False)
     mesh = pmesh.view_mesh(8)
-    ps, ns, cnt, emit = pmesh.fuse_sharded(mesh, depths, normals, cams_w,
-                                           fp)
+    ps, ns, cnt, emit, consumed = pmesh.fuse_sharded(mesh, depths,
+                                                     normals, cams_w, fp)
     assert cnt.shape == depths.shape
-    # Compare one view's votes against the single-device path.
+    assert consumed.shape == (8,) + depths.shape
+    # Every view's votes must match the static single-device program.
     from tsar_mvs_tpu.models.fusion import fusion_votes
     used = jnp.zeros(depths.shape, bool)
-    ps0, ns0, cnt0, emit0, _ = fusion_votes(2, depths, normals, cams_w,
-                                            used, fp, scene.num_views)
-    np.testing.assert_array_equal(np.asarray(cnt[2]), np.asarray(cnt0))
-    np.testing.assert_array_equal(np.asarray(emit[2]), np.asarray(emit0))
+    for r in (0, 2, 7):
+        ps0, ns0, cnt0, emit0, cons0 = fusion_votes(
+            r, depths, normals, cams_w, used, fp, scene.num_views)
+        np.testing.assert_array_equal(np.asarray(cnt[r]), np.asarray(cnt0))
+        np.testing.assert_array_equal(np.asarray(emit[r]),
+                                      np.asarray(emit0))
+        np.testing.assert_array_equal(np.asarray(consumed[r]),
+                                      np.asarray(cons0))
+
+
+def test_fuse_sharded_used_list_replay(small_scene):
+    """apply_used_list suppresses duplicate emissions: the deduped set
+    shrinks vs the raw votes and bounds the sequential fuse() output
+    from above (the sequential path additionally suppresses votes of
+    consumed pixels, so it prunes more)."""
+    scene = small_scene
+    cams_w = geo.build_camera_set(list(scene.P), rebase=False)
+    depths_np = np.where(np.isfinite(scene.depth), scene.depth, 0.0)
+    depths = jnp.asarray(depths_np, jnp.float32)
+    normals = jnp.asarray(scene.normal_world, jnp.float32)
+    fp = FusionParams(used_list=True)
+    mesh = pmesh.view_mesh(8)
+    _, _, _, emit, consumed = pmesh.fuse_sharded(mesh, depths, normals,
+                                                 cams_w, fp)
+    deduped = pmesh.apply_used_list(np.asarray(emit), np.asarray(consumed))
+    # Dedup only removes points, never adds.
+    assert (deduped <= np.asarray(emit)).all()
+    from tsar_mvs_tpu.models.fusion import fuse
+    gray = (scene.images * 255).astype(np.uint8)
+    cloud = fuse(depths_np.astype(np.float32),
+                 np.asarray(normals, np.float32), cams_w, gray, fp)
+    n_par = int(deduped.sum())
+    n_seq = cloud.points.shape[0]
+    n_raw = int(np.asarray(emit).sum())
+    # Replay must dedup substantially, and can only over-emit (never
+    # under-emit) vs the exact sequential path.
+    assert n_par < n_raw, (n_par, n_raw)
+    assert n_par >= n_seq, (n_par, n_seq)

@@ -128,6 +128,69 @@ def fusion_votes(ref: int, depths: jnp.ndarray, normals: jnp.ndarray,
     return point_sum, normal_sum, count, emit, jnp.stack(consumed_maps)
 
 
+def fusion_votes_traced(ref: jnp.ndarray, depths: jnp.ndarray,
+                        normals: jnp.ndarray, cams: geo.CameraSet,
+                        used: jnp.ndarray, fp: FusionParams):
+    """`fusion_votes` with a *traced* reference id: one compiled program
+    serves every reference view (the view-sharded fusion path used to
+    lax.switch over V per-view programs — a compile-time cliff at ETH3D
+    view counts). The self-view is excluded by masking the static source
+    loop with `j == ref` instead of skipping it structurally.
+
+    Same return contract as `fusion_votes`.
+    """
+    V, H, W = depths.shape
+    xx = jnp.arange(W, dtype=jnp.float32)[None, :]
+    yy = jnp.arange(H, dtype=jnp.float32)[:, None]
+    d_ref = depths[ref]
+    valid_ref = (d_ref > 0) & ~used[ref]
+    X = geo.backproject(cams, ref, xx, yy, d_ref)        # (H, W, 3) world
+    n_ref = normals[ref]
+
+    cos_thr = math.cos(math.radians(fp.normal_thresh_deg))
+    point_sum = X
+    normal_sum = n_ref
+    count = jnp.zeros((H, W), jnp.int32)
+    oks = []
+    for j in range(V):
+        is_self = jnp.asarray(j, jnp.int32) == ref
+        q, w_proj = geo.project(cams, j, X)
+        d_j, inb = _nearest_lookup(depths[j], q[..., 0], q[..., 1])
+        n_j, _ = _nearest_lookup(normals[j], q[..., 0], q[..., 1])
+        used_j, _ = _nearest_lookup(used[j].astype(jnp.float32),
+                                    q[..., 0], q[..., 1])
+        ok_depth = (d_j > 0) & (jnp.abs(w_proj - d_j)
+                                < fp.depth_diff * d_j)
+        ok_angle = jnp.sum(n_ref * n_j, axis=-1) > cos_thr
+        qxi = jnp.round(q[..., 0])
+        qyi = jnp.round(q[..., 1])
+        X_j = geo.backproject(cams, j, qxi, qyi, d_j)
+        p_back, _wb = geo.project(cams, ref, X_j)
+        ok_reproj = ((p_back[..., 0] - xx) ** 2
+                     + (p_back[..., 1] - yy) ** 2
+                     < fp.reproj_error * fp.reproj_error)
+        ok = (inb & ok_depth & ok_angle & ok_reproj & valid_ref
+              & (used_j < 0.5) & ~is_self)
+        point_sum = point_sum + jnp.where(ok[..., None], X_j, 0.0)
+        normal_sum = normal_sum + jnp.where(ok[..., None], n_j, 0.0)
+        count = count + ok.astype(jnp.int32)
+        oks.append(ok)
+
+    emit = valid_ref & (count >= fp.num_consistent)
+    consumed_maps = []
+    for j in range(V):
+        is_self = jnp.asarray(j, jnp.int32) == ref
+        q, _ = geo.project(cams, j, X)
+        xi = jnp.clip(jnp.round(q[..., 0]).astype(jnp.int32), 0, W - 1)
+        yi = jnp.clip(jnp.round(q[..., 1]).astype(jnp.int32), 0, H - 1)
+        mark = oks[j] & emit
+        flat = jnp.zeros((H * W,), bool)
+        flat = flat.at[yi.reshape(-1) * W + xi.reshape(-1)].max(
+            mark.reshape(-1))
+        consumed_maps.append(jnp.where(is_self, emit, flat.reshape(H, W)))
+    return point_sum, normal_sum, count, emit, jnp.stack(consumed_maps)
+
+
 def fuse(depths: np.ndarray, normals: np.ndarray, cams: geo.CameraSet,
          gray: np.ndarray, fp: FusionParams) -> FusedCloud:
     """Sequential fused point cloud over all reference views

@@ -29,7 +29,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from tsar_mvs_tpu import geometry as geo
 from tsar_mvs_tpu.config import AlgorithmParams, FusionParams
 from tsar_mvs_tpu.models import patchmatch as pm
-from tsar_mvs_tpu.models.fusion import fusion_votes
+from tsar_mvs_tpu.models.fusion import fusion_votes_traced
 
 
 def view_mesh(num_devices: int | None = None) -> Mesh:
@@ -87,11 +87,22 @@ def fuse_sharded(mesh: Mesh, depths: jnp.ndarray, normals: jnp.ndarray,
                  cams_world: geo.CameraSet, fp: FusionParams):
     """Fusion consistency votes with views sharded over the mesh: each
     chip all-gathers the (V, H, W) depth/normal maps over ICI and votes
-    for its local reference views (used_list de-dup not applied — it is
-    inherently sequential; callers wanting it run `models.fusion.fuse`).
+    for its local reference views with ONE traced-ref program
+    (`fusion_votes_traced`) — no per-view recompilation.
+
+    used_list de-dup is inherently sequential over reference views; this
+    parallel path votes with an empty used mask and additionally returns
+    each ref's consumed-source maps so `apply_used_list` can replay the
+    emission de-dup on the host. The replay suppresses duplicate
+    *emissions* exactly, but vote counts stay pre-dedup (the sequential
+    path also denies consumed pixels the right to vote, so it prunes
+    more at num_consistent thresholds) — parallel output is a superset
+    of `models.fusion.fuse`'s. Callers needing exact sequential
+    used_list semantics use `fuse`.
 
     depths/normals enter sharded on the leading (view) axis. Returns
-    (point_sum, normal_sum, count, emit) stacked over all V views.
+    (point_sum, normal_sum, count, emit, consumed) stacked over all V
+    views; consumed has shape (V_ref, V_src, H, W).
     """
     V = depths.shape[0]
     n_dev = mesh.devices.size
@@ -100,37 +111,38 @@ def fuse_sharded(mesh: Mesh, depths: jnp.ndarray, normals: jnp.ndarray,
     @functools.partial(
         jax.shard_map, mesh=mesh,
         in_specs=(P("view"), P("view")),
-        out_specs=(P("view"), P("view"), P("view"), P("view")))
+        out_specs=(P("view"),) * 5)
     def run(depths_local, normals_local):
         d_all = jax.lax.all_gather(depths_local, "view", tiled=True)
         n_all = jax.lax.all_gather(normals_local, "view", tiled=True)
         used = jnp.zeros(d_all.shape, bool)
         my = jax.lax.axis_index("view")
         R_loc = depths_local.shape[0]
-        ps_l, ns_l, cnt_l, emit_l = [], [], [], []
-        for r in range(R_loc):
-            # Local ref index -> global view id (static per-position
-            # branch over the gathered stack).
+
+        def one(r):
             ref_global = my * R_loc + r
-            ps, ns, cnt, emit, _ = _votes_dynamic(ref_global, d_all, n_all,
-                                                  cams_world, used, fp, V)
-            ps_l.append(ps)
-            ns_l.append(ns)
-            cnt_l.append(cnt)
-            emit_l.append(emit)
-        return (jnp.stack(ps_l), jnp.stack(ns_l), jnp.stack(cnt_l),
-                jnp.stack(emit_l))
+            return fusion_votes_traced(ref_global, d_all, n_all,
+                                       cams_world, used, fp)
+
+        return jax.lax.map(one, jnp.arange(R_loc))
 
     return run(depths, normals)
 
 
-def _votes_dynamic(ref_global, depths, normals, cams, used, fp, V):
-    """fusion_votes with a traced reference id: evaluated via lax.switch
-    over the static per-view programs (V is small; the reference binary
-    is likewise re-run per view)."""
-    branches = [
-        (lambda rr: (lambda d, n, u: fusion_votes(rr, d, n, cams, u, fp,
-                                                  V)))(r)
-        for r in range(V)
-    ]
-    return jax.lax.switch(ref_global, branches, depths, normals, used)
+def apply_used_list(emit: np.ndarray, consumed: np.ndarray) -> np.ndarray:
+    """Sequential used_list replay over per-ref vote results (host side).
+
+    emit: (V, H, W) pre-dedup emit masks; consumed: (V_ref, V_src, H, W)
+    source pixels each ref's emitted points consumed. Returns deduped
+    emit masks: a pixel already consumed by an earlier reference view no
+    longer emits (models.fusion.fuse's `used` semantics at vote time,
+    applied post-hoc)."""
+    V = emit.shape[0]
+    used = np.zeros_like(emit)
+    out = np.zeros_like(emit)
+    for r in range(V):
+        keep = emit[r] & ~used[r]
+        out[r] = keep
+        # Only points still emitted consume their sources.
+        used |= consumed[r] & keep[None]
+    return out
