@@ -64,6 +64,18 @@ def test_scene_pipeline_end_to_end(tmp_path):
     assert "Total runtime" in results_txt
     assert "SLIC:" in results_txt and "superpixels" in results_txt
 
+    # Superpixel artifacts: full-res label map + A/B/C graph round-trip
+    # (gSLICr_seg_engine.cpp:46-149 contract).
+    labels = dmb.read_dmb(out / "TSAR_slic_labels.dmb")
+    assert labels.shape == (64, 96)
+    assert (labels == labels.astype(np.int32)).all()
+    adj, sizes, borders = pipeline.read_slic_graph(
+        out / "TSAR_slic_graph.txt")
+    assert sum(sizes.values()) == labels.size // 16  # quarter-scale px
+    assert set(np.unique(labels.astype(np.int32))) <= set(sizes)
+    for (a, b), blen in borders.items():
+        assert b in adj[a] and a in adj[b] and blen > 0
+
     depth = dmb.read_dmb(out / "TSAR_disp.dmb")
     assert depth.shape == (64, 96)
     gt = scene_gt.depth[0]

@@ -180,6 +180,42 @@ def run_slic_stage(gray: np.ndarray, params: AlgorithmParams
     return lab_full, res
 
 
+def write_slic_graph(path: Path, adjacency: dict, sizes: dict,
+                     borders: dict) -> None:
+    """Persist the superpixel A/B/C graph (adjacency, membership size,
+    shared-border length — gSLICr_seg_engine.cpp:46-149 builds these on
+    the CPU and this snapshot only max-prints them). One line per
+    superpixel: `id size n_neighbors nb:borderlen ...`."""
+    with Path(path).open("w") as fh:
+        fh.write(f"{len(sizes)}\n")
+        for label in sorted(sizes):
+            nbs = sorted(adjacency.get(label, ()))
+            parts = [f"{label}", f"{sizes[label]}", f"{len(nbs)}"]
+            for nb in nbs:
+                key = (min(label, nb), max(label, nb))
+                parts.append(f"{nb}:{borders.get(key, 0)}")
+            fh.write(" ".join(parts) + "\n")
+
+
+def read_slic_graph(path: Path) -> tuple[dict, dict, dict]:
+    """Inverse of write_slic_graph."""
+    adjacency: dict[int, set[int]] = {}
+    sizes: dict[int, int] = {}
+    borders: dict[tuple[int, int], int] = {}
+    lines = Path(path).read_text().splitlines()
+    for ln in lines[1:]:
+        toks = ln.split()
+        label, size, n_nb = int(toks[0]), int(toks[1]), int(toks[2])
+        sizes[label] = size
+        adjacency[label] = set()
+        for t in toks[3:3 + n_nb]:
+            nb, bl = t.split(":")
+            nb = int(nb)
+            adjacency[label].add(nb)
+            borders[(min(label, nb), max(label, nb))] = int(bl)
+    return adjacency, sizes, borders
+
+
 def process_view(scene: Scene, ref_idx: int,
                  params: AlgorithmParams | None = None,
                  key: jax.Array | None = None,
@@ -260,6 +296,16 @@ def process_view(scene: Scene, ref_idx: int,
                            np.asarray(slic_res.labels),
                            np.asarray(pm.downsample_2x(pm.downsample_2x(
                                jnp.asarray(scene.images[ref_idx]))))))
+    # Superpixel artifacts for downstream consumers: the full-resolution
+    # label map (the reference keeps labels only in unified memory,
+    # lines->suoyin; we persist them) plus the A/B/C adjacency /
+    # membership / shared-border-length graph the TSAR authors appended
+    # to gSLICr (gSLICr_seg_engine.cpp:46-149, which this snapshot only
+    # max-prints).
+    dmb.write_dmb(out_dir / "TSAR_slic_labels.dmb",
+                  slic_labels.astype(np.float32))
+    write_slic_graph(out_dir / "TSAR_slic_graph.txt", slic_adj,
+                     slic_sizes, slic_borders)
     if write_ply:
         cams_world = geo.build_camera_set([scene.P[i] for i in order],
                                           cam_scale=params.cam_scale,
