@@ -1,23 +1,30 @@
 #!/usr/bin/env python
 """Benchmark: depthmaps/sec/chip on an ETH3D-2K-scale synthetic scene.
 
-Runs the per-view depthmap pipeline (8-iteration checkerboard PatchMatch +
-confidence + coarse WMF outlier marking + finalize) on the available
-accelerator and prints ONE JSON line:
+Runs the FULL per-view TSAR pipeline — weak-texture detection, SLIC,
+8-iteration checkerboard PatchMatch, confidence/LR check, coarse WMF
+outlier marking, region RANSAC, textureless fill, fine WMF hole filling,
+finalize — and prints ONE JSON line:
 
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+     "stages": {...}, "acc2_pm": ..., "acc2_final": ...}
+
+`stages` is the per-stage wall-clock breakdown in seconds (the
+reference prints per-phase kernel seconds to stdout, main.cpp:1492-1782).
 
 Baseline: the reference publishes no timing tables (BASELINE.md); its
 per-view wall-clock on the dev GPU (GTX 980, README.md:30-41) for an
 ETH3D-scale view at the scripts' operating point is on the order of 20 s
-=> 0.05 depthmaps/sec. vs_baseline is measured against that estimate.
+=> 0.05 depthmaps/sec. vs_baseline scales that estimate by pixels and
+source views.
 
-Env overrides: TSAR_BENCH_H/W/VIEWS/ITERS/REPEATS, TSAR_BENCH_SMALL=1 for
-a quick CPU-sized run.
+Env overrides: TSAR_BENCH_H/W/VIEWS/ITERS/REPEATS, TSAR_BENCH_SMALL=1
+for a quick CPU-sized run, TSAR_NCC_IMPL=auto|direct|svolume.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import sys
@@ -26,17 +33,12 @@ import time
 
 def main() -> int:
     small = os.environ.get("TSAR_BENCH_SMALL") == "1"
-    # Default operating point: half-linear ETH3D resolution, 3 source
-    # views (the largest configuration currently validated on the v5e
-    # chip — the full 1344x2048x7src program still faults the TPU worker
-    # at execution, see PERF.md). vs_baseline scales the GTX 980
-    # reference estimate by pixels and source views so the comparison
-    # stays apples-to-apples across operating points.
     H = int(os.environ.get("TSAR_BENCH_H", 160 if small else 672))
     W = int(os.environ.get("TSAR_BENCH_W", 224 if small else 1024))
     V = int(os.environ.get("TSAR_BENCH_VIEWS", 4 if small else 4))
     iters = int(os.environ.get("TSAR_BENCH_ITERS", 2 if small else 8))
     repeats = int(os.environ.get("TSAR_BENCH_REPEATS", 2))
+    ncc_impl = os.environ.get("TSAR_NCC_IMPL", "auto")
 
     import jax
     if small:
@@ -52,63 +54,119 @@ def main() -> int:
     from tsar_mvs_tpu.config import AlgorithmParams
     from tsar_mvs_tpu.models import patchmatch as pm
     from tsar_mvs_tpu.models import tsar
+    from tsar_mvs_tpu.models import weak_texture as wt
+    from tsar_mvs_tpu import pipeline
     from tsar_mvs_tpu.utils.synthetic import make_scene
 
-    print(f"# bench: {H}x{W}, {V} views, {iters} iters on "
-          f"{jax.devices()[0].platform}", file=sys.stderr)
+    print(f"# bench: {H}x{W}, {V} views, {iters} iters, impl={ncc_impl} "
+          f"on {jax.devices()[0].platform}", file=sys.stderr)
     scene = make_scene(height=H, width=W, num_views=V, seed=0)
     cams = geo.build_camera_set(list(scene.P), depth_min=scene.depth_min,
                                 depth_max=scene.depth_max)
-    params = AlgorithmParams(iterations=iters).with_depth_range(
+    params = AlgorithmParams(
+        iterations=iters, ncc_impl=ncc_impl).with_depth_range(
         scene.depth_min, scene.depth_max, float(cams.f))
     imgs = jnp.asarray(scene.images, jnp.float32)
     view_ids = tuple(range(1, V))
+    n_wmf = 2 if small else 4
+    n_wmf_final = 2 if small else 6
 
-    def one_view(key):
-        state = pm.run_patchmatch(key, imgs, view_ids, cams, params,
-                                  iterations=iters)
-        confid, lrdiff, disp = tsar.confidence_stage(
-            imgs, view_ids, cams, state, params)
-        reliable = tsar.wmf_stage(imgs[0], cams, state, disp,
-                                  jnp.ones(disp.shape, bool), params,
-                                  iters=2 if small else 4)
-        depth, n_world = tsar.finalize_stage(cams, state)
-        return depth, n_world, confid, reliable
+    def force(x):
+        """Force completion with a host readback (block_until_ready does
+        not reliably block through the axon TPU tunnel)."""
+        leaves = jax.tree.leaves(x)
+        _ = np.asarray(jnp.sum(leaves[0].astype(jnp.float32)))
+        return x
+
+    def one_view(key, stages=None):
+        def mark(name, t0):
+            if stages is not None:
+                stages[name] = stages.get(name, 0.0) + time.time() - t0
+            return time.time()
+
+        t0 = time.time()
+        weak = wt.detect_weak_texture(scene.images[0], params)
+        t0 = mark("weak_texture", t0)
+        _, slic_res = pipeline.run_slic_stage(scene.images[0], params)
+        force(slic_res.labels)
+        t0 = mark("slic", t0)
+        state = force(pm.run_patchmatch(key, imgs, view_ids, cams, params,
+                                        iterations=iters))
+        t0 = mark("patchmatch", t0)
+        confid, lrdiff, disp = force(tsar.confidence_stage(
+            imgs, view_ids, cams, state, params))
+        t0 = mark("confidence", t0)
+        reliable = force(tsar.wmf_stage(imgs[0], cams, state, disp,
+                                        jnp.ones(disp.shape, bool),
+                                        params, iters=n_wmf))
+        t0 = mark("wmf_mark", t0)
+        region_planes = tsar.fit_region_planes(
+            jax.random.fold_in(key, 99), weak, disp, np.asarray(reliable),
+            cams, params)
+        t0 = mark("ransac", t0)
+        labels = jnp.asarray(weak.labels_full)
+        weak_region = jnp.asarray(weak.text == -1)
+        state2, reliable2, disp2 = force(tsar.fill_stage(
+            cams, state, jnp.asarray(region_planes), labels, weak_region,
+            reliable, params))
+        t0 = mark("fill", t0)
+        textured = jnp.asarray(weak.text == 1)[labels]
+        state2, disp2, reliable2 = force(tsar.wmf_final_stage(
+            imgs[0], cams, state2, disp2, reliable2, textured, params,
+            iters=n_wmf_final))
+        t0 = mark("wmf_final", t0)
+        depth, n_world = force(tsar.finalize_stage(cams, state2))
+        mark("finalize", t0)
+        return state, depth, n_world, reliable2
 
     # Warm-up (compile)
     t0 = time.time()
     out = one_view(jax.random.PRNGKey(0))
-    jax.block_until_ready(out)
     compile_s = time.time() - t0
     print(f"# warmup (incl. compile): {compile_s:.1f}s", file=sys.stderr)
 
-    # Optional jax.profiler trace of the timed region (SURVEY.md §5's
-    # tracing equivalent): TSAR_BENCH_PROFILE=<dir> writes a TensorBoard
-    # trace of one timed view.
     profile_dir = os.environ.get("TSAR_BENCH_PROFILE")
     if profile_dir:
         with jax.profiler.trace(profile_dir):
             out = one_view(jax.random.PRNGKey(99))
-            jax.block_until_ready(out)
         print(f"# profile trace written to {profile_dir}",
               file=sys.stderr)
 
     times = []
+    stages_best: dict[str, float] = {}
     for r in range(repeats):
+        stages: dict[str, float] = {}
         t0 = time.time()
-        out = one_view(jax.random.PRNGKey(r + 1))
-        jax.block_until_ready(out)
-        times.append(time.time() - t0)
+        out = one_view(jax.random.PRNGKey(r + 1), stages)
+        dt = time.time() - t0
+        times.append(dt)
+        if dt == min(times):
+            stages_best = stages
     per_view = min(times)
     dm_per_s = 1.0 / per_view
 
-    # Sanity: converged cost should be low on textured pixels.
-    depth = np.asarray(out[0])
+    # Accuracy: raw PatchMatch depth and pipeline-final depth vs GT on
+    # textured pixels; final also restricted to surviving (reliable)
+    # pixels — the MVS accuracy/completeness split.
+    state, depth_final, _, reliable = out
     gt = scene.depth[0]
     ok = np.isfinite(gt) & ~scene.weak_mask[0]
-    rel_err = np.abs(depth - gt) / np.where(np.isfinite(gt), gt, 1.0)
-    acc2 = float((rel_err[ok] < 0.02).mean())
-    print(f"# per-view: {per_view:.3f}s  acc<2%: {acc2:.3f}",
+    xx = jnp.arange(W, dtype=jnp.float32)[None, :]
+    yy = jnp.arange(H, dtype=jnp.float32)[:, None]
+    depth_pm = np.asarray(geo.depth_from_plane(cams, state.normal,
+                                               state.d, xx, yy))
+
+    def acc2(depth, sel):
+        rel = np.abs(depth - gt) / np.where(np.isfinite(gt), gt, 1.0)
+        return float((rel[sel] < 0.02).mean()) if sel.any() else 0.0
+
+    rel_mask = np.asarray(reliable) & ok
+    acc_pm = acc2(depth_pm, ok)
+    acc_final = acc2(np.asarray(depth_final), ok)
+    acc_rel = acc2(np.asarray(depth_final), rel_mask)
+    print(f"# per-view: {per_view:.3f}s  acc<2% pm={acc_pm:.3f} "
+          f"final={acc_final:.3f} reliable-only={acc_rel:.3f} "
+          f"(reliable frac {np.asarray(reliable)[ok].mean():.3f})",
           file=sys.stderr)
 
     # ~20 s/view at 1344x2048 with 7 source views on a GTX 980 (see
@@ -117,8 +175,12 @@ def main() -> int:
     print(json.dumps({
         "metric": "depthmaps/sec/chip",
         "value": round(dm_per_s, 4),
-        "unit": f"depthmaps/s @{H}x{W}x{iters}it/{V - 1}src",
+        "unit": f"depthmaps/s @{H}x{W}x{iters}it/{V - 1}src (full pipeline)",
         "vs_baseline": round(dm_per_s / baseline_dm_per_s, 3),
+        "stages": {k: round(v, 3) for k, v in stages_best.items()},
+        "acc2_pm": round(acc_pm, 3),
+        "acc2_final": round(acc_final, 3),
+        "acc2_reliable": round(acc_rel, 3),
     }))
     return 0
 

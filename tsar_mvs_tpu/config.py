@@ -103,6 +103,20 @@ class AlgorithmParams:
     wmf_drift_thr: float = 24.0
     # Confidence / LR check.
     lr_diff_clamp: float = 1.0
+    # NCC sampler implementation for the PatchMatch hot loop.
+    #   "auto"    — epipolar s-volume on TPU when n_best == 1 (the
+    #               gather-free TPU-native path, ops/svolume.py), direct
+    #               gather sampler otherwise/elsewhere;
+    #   "direct"  — always the exact per-sample gather path (ops/ncc.py);
+    #   "svolume" — always the s-volume path.
+    ncc_impl: str = "auto"
+    # s-volume quality/memory knobs (ops/svolume.py): target epipolar
+    # motion between adjacent planes (px), fractional s-range margin for
+    # slanted windows, and a total volume memory budget that coarsens
+    # step_px when exceeded.
+    svolume_step_px: float = 1.0
+    svolume_margin: float = 0.125
+    svolume_budget_mb: int = 4096
 
     @property
     def hrad(self) -> int:

@@ -25,6 +25,43 @@ from tsar_mvs_tpu import geometry as geo
 from tsar_mvs_tpu.ops import checkerboard as cb
 from tsar_mvs_tpu.ops import ncc
 from tsar_mvs_tpu.ops import sampling
+from tsar_mvs_tpu.ops import svolume as sv
+
+
+def resolve_ncc_impl(params: AlgorithmParams,
+                     height: int | None = None,
+                     width: int | None = None) -> str:
+    """'auto' -> the gather-free epipolar s-volume Pallas kernel on TPU
+    for the scripts' n_best=1 operating point (the measured TPU gather
+    rate caps the direct sampler ~40x below the VPU path, and the XLA
+    sweep pays the full plane count where the kernel pays only each
+    tile's bracket spread — PERF.md), the exact direct sampler on CPU
+    and for n_best > 1."""
+    if params.ncc_impl != "auto":
+        return params.ncc_impl
+    import jax
+    on_tpu = jax.default_backend() not in ("cpu",)
+    packable = (height is None or width is None
+                or cb.parity_compressible(height, width))
+    if on_tpu and params.n_best == 1:
+        return "pallas" if packable else "svolume"
+    return "direct"
+
+
+def svolume_plane_counts(cams: geo.CameraSet, view_ids, height: int,
+                         width: int,
+                         params: AlgorithmParams) -> tuple[int, ...]:
+    """Host-side static per-view plane counts for the s-volume path
+    (requires a concrete CameraSet)."""
+    import numpy as np
+    idx = list(view_ids)
+    s_lo, s_hi = sv.s_range_for_depths(params.depth_min, params.depth_max,
+                                       params.svolume_margin)
+    counts = sv.plane_counts(
+        np.asarray(cams.A)[idx], np.asarray(cams.b)[idx], height, width,
+        s_lo, s_hi, step_px=params.svolume_step_px,
+        budget_bytes=params.svolume_budget_mb << 20)
+    return tuple(counts)
 
 
 class PlaneState(NamedTuple):
@@ -340,12 +377,50 @@ def make_patchmatch_step(cost_fn, rays: jnp.ndarray, cams: geo.CameraSet,
     return step
 
 
+def _make_pallas_cost_and_ctx(stats, cams: geo.CameraSet, height: int,
+                              width: int, vol_data, counts, s_lo: float,
+                              s_hi: float, ids, valid,
+                              params: AlgorithmParams):
+    """cost_fn/pctx assembly for the Pallas s-volume kernel. The kernel
+    operates on parity-packed layouts only; dense (init) evaluations
+    split into the two parity classes and expand back."""
+    from tsar_mvs_tpu.ops import pallas_ncc as pn
+    assert cb.parity_compressible(height, width)
+    stats_p = {0: ncc.compress_stats(stats, 0),
+               1: ncc.compress_stats(stats, 1)}
+    pctx = make_parity_ctx(stats_p, cams, height, width)
+    vols_p = pn.prepare_parity_volumes(vol_data, height, width)
+    inv_ds = tuple((c - 1) / (s_hi - s_lo) for c in counts)
+
+    def mv_packed(n_p, d_p, parity):
+        return pn.multiview_cost_pallas(
+            vols_p[parity], counts, float(s_lo), inv_ds, ids, valid,
+            n_p, d_p, stats_p[parity], params, parity)
+
+    def cost_fn(normal, d, parity=None):
+        if parity is not None:
+            return mv_packed(normal, d, parity)
+        mv = [mv_packed(cb.parity_compress_vec(normal, p),
+                        cb.parity_compress(d, p), p) for p in (0, 1)]
+
+        def expand(f0, f1, dtype):
+            old = jnp.zeros(f0.shape[:-2] + (height, width), dtype)
+            return cb.parity_expand(f1, cb.parity_expand(f0, old, 0), 1)
+
+        return ncc.MultiviewCost(
+            cost=expand(mv[0].cost, mv[1].cost, jnp.float32),
+            best_view=expand(mv[0].best_view, mv[1].best_view, jnp.int32),
+            ratio=expand(mv[0].ratio, mv[1].ratio, jnp.float32))
+
+    return cost_fn, pctx
+
+
 def _make_cost_and_ctx(stats, cams: geo.CameraSet, height: int,
                        width: int, eval_view_cost):
     """Shared plumbing for the parity-packed cost path: returns
     (cost_fn(normal, d, parity), pctx) with parity-compressed RefStats,
     or a dense-only cost_fn and pctx=None when H/W are odd.
-    eval_view_cost(normal, d, stats, coords) -> MultiviewCost."""
+    eval_view_cost(normal, d, stats, coords, parity) -> MultiviewCost."""
     if cb.parity_compressible(height, width):
         stats_p = {None: stats,
                    0: ncc.compress_stats(stats, 0),
@@ -354,16 +429,15 @@ def _make_cost_and_ctx(stats, cams: geo.CameraSet, height: int,
 
         def cost_fn(normal, d, parity=None):
             coords = None if parity is None else pctx.coords[parity]
-            return eval_view_cost(normal, d, stats_p[parity], coords)
+            return eval_view_cost(normal, d, stats_p[parity], coords,
+                                  parity=parity)
         return cost_fn, pctx
 
     def cost_fn(normal, d, parity=None):
-        return eval_view_cost(normal, d, stats, None)
+        return eval_view_cost(normal, d, stats, None, parity=None)
     return cost_fn, None
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("view_ids", "params", "iterations"))
 def run_patchmatch(key: jax.Array, imgs: jnp.ndarray,
                    view_ids: tuple[int, ...], cams: geo.CameraSet,
                    params: AlgorithmParams,
@@ -371,35 +445,92 @@ def run_patchmatch(key: jax.Array, imgs: jnp.ndarray,
                    init_state: PlaneState | None = None) -> PlaneState:
     """Full PatchMatch: random (or prior) init + N checkerboard iterations.
 
-    imgs: (V, H, W) float32, index 0 = reference view.
+    imgs: (V, H, W) float32, index 0 = reference view. Host-side wrapper:
+    resolves the NCC sampler (resolve_ncc_impl) and, for the s-volume
+    path, derives the static per-view plane counts before entering jit.
     """
+    H, W = imgs.shape[1:]
+    impl = resolve_ncc_impl(params, H, W)
+    svol_planes = None
+    if impl in ("svolume", "pallas"):
+        svol_planes = svolume_plane_counts(cams, view_ids, H, W, params)
+    return _run_patchmatch_jit(key, imgs, tuple(view_ids), cams, params,
+                               iterations, init_state, svol_planes,
+                               impl == "pallas")
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("view_ids", "params", "iterations",
+                                    "svol_planes", "use_pallas"))
+def _run_patchmatch_jit(key: jax.Array, imgs: jnp.ndarray,
+                        view_ids: tuple[int, ...], cams: geo.CameraSet,
+                        params: AlgorithmParams,
+                        iterations: int | None = None,
+                        init_state: PlaneState | None = None,
+                        svol_planes: tuple[int, ...] | None = None,
+                        use_pallas: bool = False) -> PlaneState:
     stats = ncc.precompute_ref_stats(imgs[0], cams, params)
     init_key, key = jax.random.split(key)
     H, W = imgs.shape[1:]
 
-    # Pre-pack source views once (outside the iteration loop): one
-    # gather per bilinear sample in the hot path.
-    packed = {v: sampling.pack_image(imgs[v], jnp.bfloat16)
-              for v in view_ids}
-
-    if H * W >= (1 << 20) and params.n_best == 1:
-        # Large images: scan the view axis so one view's working set is
-        # live at a time (unrolled views fault the TPU worker at 2K x
-        # 7 sources — HBM pressure).
-        packed_stack = jnp.stack([packed[v].data for v in view_ids])
+    if svol_planes is not None and use_pallas:
         idx = jnp.asarray(list(view_ids), jnp.int32)
-        A_stack = cams.A[idx]
-        b_stack = cams.b[idx]
+        s_lo, s_hi = sv.s_range_for_depths(params.depth_min,
+                                           params.depth_max,
+                                           params.svolume_margin)
+        vol = sv.build_svolume(imgs[idx], cams.A[idx], cams.b[idx],
+                               s_lo, s_hi, svol_planes)
+        cost_fn, pctx = _make_pallas_cost_and_ctx(
+            stats, cams, H, W, vol.data, svol_planes, s_lo, s_hi, idx,
+            [True] * len(view_ids), params)
+        if init_state is None:
+            init_state = random_init_with(init_key, (H, W), cams,
+                                          stats.rays, cost_fn, params)
+        iters = params.iterations if iterations is None else iterations
+        step = make_patchmatch_step(cost_fn, stats.rays, cams, params,
+                                    pctx=pctx)
+        state, _ = jax.lax.fori_loop(0, iters, step, (init_state, key))
+        return state
+
+    if svol_planes is not None:
+        # Gather-free epipolar s-volume sampler (ops/svolume.py): the
+        # volume build is the only gather work; the iteration loop is
+        # static shifts + predicated selects on the VPU.
+        idx = jnp.asarray(list(view_ids), jnp.int32)
+        s_lo, s_hi = sv.s_range_for_depths(params.depth_min,
+                                           params.depth_max,
+                                           params.svolume_margin)
+        vol = sv.build_svolume(imgs[idx], cams.A[idx], cams.b[idx],
+                               s_lo, s_hi, svol_planes)
         valid = jnp.ones((len(view_ids),), bool)
 
-        def eval_view_cost(normal, d, st, coords):
-            return ncc.multiview_cost_viewscan(
-                packed_stack, H, W, A_stack, b_stack, idx, valid,
-                normal, d, st, params, coords=coords)
+        def eval_view_cost(normal, d, st, coords, parity=None):
+            return sv.multiview_cost_svolume(vol, idx, valid, normal, d,
+                                             st, params, parity=parity)
     else:
-        def eval_view_cost(normal, d, st, coords):
-            return ncc.multiview_cost(packed, view_ids, cams, normal, d,
-                                      st, params, coords=coords)
+        # Direct gather sampler: pre-pack source views once (outside the
+        # iteration loop) — one gather per bilinear sample.
+        packed = {v: sampling.pack_image(imgs[v], jnp.bfloat16)
+                  for v in view_ids}
+
+        if H * W >= (1 << 20) and params.n_best == 1:
+            # Large images: scan the view axis so one view's working set
+            # is live at a time (unrolled views fault the TPU worker at
+            # 2K x 7 sources — HBM pressure).
+            packed_stack = jnp.stack([packed[v].data for v in view_ids])
+            idx = jnp.asarray(list(view_ids), jnp.int32)
+            A_stack = cams.A[idx]
+            b_stack = cams.b[idx]
+            valid = jnp.ones((len(view_ids),), bool)
+
+            def eval_view_cost(normal, d, st, coords, parity=None):
+                return ncc.multiview_cost_viewscan(
+                    packed_stack, H, W, A_stack, b_stack, idx, valid,
+                    normal, d, st, params, coords=coords)
+        else:
+            def eval_view_cost(normal, d, st, coords, parity=None):
+                return ncc.multiview_cost(packed, view_ids, cams, normal,
+                                          d, st, params, coords=coords)
 
     cost_fn, pctx = _make_cost_and_ctx(stats, cams, H, W, eval_view_cost)
 
@@ -475,25 +606,51 @@ def patchmatch_one_ref(key: jax.Array, imgs: jnp.ndarray,
                        src_valid: jnp.ndarray, A: jnp.ndarray,
                        b: jnp.ndarray, cams: geo.CameraSet,
                        params: AlgorithmParams,
-                       iterations: int) -> PlaneState:
+                       iterations: int,
+                       svol_planes: tuple[int, ...] | None = None
+                       ) -> PlaneState:
     """PatchMatch for one reference view with *traced* view indices and
-    warp factors (the shardable unit)."""
+    warp factors (the shardable unit). svol_planes: static per-source-slot
+    plane counts enabling the s-volume sampler (traced A/b are fine —
+    only the counts must be static; use the max over the batch)."""
     ref_img = imgs[ref_id]
     src_imgs = imgs[src_ids]                 # (S, H, W) dynamic gather
     stats = ncc.precompute_ref_stats(ref_img, cams, params)
     H, W = ref_img.shape
+
+    if svol_planes is not None:
+        s_lo, s_hi = sv.s_range_for_depths(params.depth_min,
+                                           params.depth_max,
+                                           params.svolume_margin)
+        vol = sv.build_svolume(src_imgs, A, b, s_lo, s_hi, svol_planes)
+
+        def eval_view_cost(normal, d, st, coords, parity=None):
+            return sv.multiview_cost_svolume(vol, src_ids, src_valid,
+                                             normal, d, st, params,
+                                             parity=parity)
+        cost_fn, pctx = _make_cost_and_ctx(stats, cams, H, W,
+                                           eval_view_cost)
+        init_key, key = jax.random.split(key)
+        init_state = random_init_with(init_key, (H, W), cams, stats.rays,
+                                      cost_fn, params)
+        step = make_patchmatch_step(cost_fn, stats.rays, cams, params,
+                                    pctx=pctx)
+        state, _ = jax.lax.fori_loop(0, iterations, step,
+                                     (init_state, key))
+        return state
+
     packed_src = tuple(sampling.pack_image(src_imgs[s], jnp.bfloat16)
                        for s in range(src_imgs.shape[0]))
 
     if H * W >= (1 << 20) and params.n_best == 1:
         packed_stack = jnp.stack([p.data for p in packed_src])
 
-        def eval_view_cost(normal, d, st, coords):
+        def eval_view_cost(normal, d, st, coords, parity=None):
             return ncc.multiview_cost_viewscan(
                 packed_stack, H, W, A, b, src_ids, src_valid, normal, d,
                 st, params, coords=coords)
     else:
-        def eval_view_cost(normal, d, st, coords):
+        def eval_view_cost(normal, d, st, coords, parity=None):
             return ncc.multiview_cost_gathered(packed_src, A, b, src_ids,
                                                src_valid, normal, d, st,
                                                params, coords=coords)
@@ -513,7 +670,9 @@ def patchmatch_one_ref(key: jax.Array, imgs: jnp.ndarray,
 def run_patchmatch_many(key: jax.Array, imgs: jnp.ndarray,
                         batch: SceneBatch, cams: geo.CameraSet,
                         params: AlgorithmParams,
-                        iterations: int) -> PlaneState:
+                        iterations: int,
+                        svol_planes: tuple[int, ...] | None = None
+                        ) -> PlaneState:
     """Sequentially map PatchMatch over a batch of reference views
     (stacked PlaneState out, leading axis R). Each device in a
     view-sharded mesh runs this over its local shard."""
@@ -526,9 +685,40 @@ def run_patchmatch_many(key: jax.Array, imgs: jnp.ndarray,
             jax.random.fold_in(key, batch.ref_ids[r]), imgs,
             batch.ref_ids[r],
             batch.src_ids[r], batch.src_valid[r], batch.A[r], batch.b[r],
-            cams, params, iterations)
+            cams, params, iterations, svol_planes=svol_planes)
 
     return jax.lax.map(one, jnp.arange(R))
+
+
+def svolume_plane_counts_batch(batch: SceneBatch, height: int, width: int,
+                               params: AlgorithmParams
+                               ) -> tuple[int, ...] | None:
+    """Static per-source-slot plane counts for a SceneBatch (host side,
+    concrete batch): the max over reference views per slot, so one count
+    tuple serves every ref in the (possibly sharded) batch."""
+    if resolve_ncc_impl(params) != "svolume":
+        return None
+    import numpy as np
+    A = np.asarray(batch.A)          # (R, S, 3, 3)
+    b = np.asarray(batch.b)
+    s_lo, s_hi = sv.s_range_for_depths(params.depth_min, params.depth_max,
+                                       params.svolume_margin)
+    R, S = A.shape[:2]
+    counts = np.zeros((R, S), np.int64)
+    for r in range(R):
+        counts[r] = sv.plane_counts(A[r], b[r], height, width, s_lo, s_hi,
+                                    step_px=params.svolume_step_px)
+    out = counts.max(axis=0)
+    # Apply the memory budget across slots.
+    budget = params.svolume_budget_mb << 20
+    step = params.svolume_step_px
+    while out.sum() * height * width * 2 > budget and step < 64.0:
+        step *= 1.5
+        for r in range(R):
+            counts[r] = sv.plane_counts(A[r], b[r], height, width, s_lo,
+                                        s_hi, step_px=step)
+        out = counts.max(axis=0)
+    return tuple(int(c) for c in out)
 
 
 # ---------------------------------------------------------------------------

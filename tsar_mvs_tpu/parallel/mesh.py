@@ -70,6 +70,8 @@ def patchmatch_sharded(mesh: Mesh, key: jax.Array, imgs: jnp.ndarray,
     n_dev = mesh.devices.size
     R_orig = batch.ref_ids.shape[0]
     batch = pad_batch(batch, n_dev)
+    svol_planes = pm.svolume_plane_counts_batch(
+        batch, imgs.shape[-2], imgs.shape[-1], params)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -77,7 +79,7 @@ def patchmatch_sharded(mesh: Mesh, key: jax.Array, imgs: jnp.ndarray,
         out_specs=P("view"))
     def run(key, imgs, batch_local):
         return pm.run_patchmatch_many(key, imgs, batch_local, cams, params,
-                                      iterations)
+                                      iterations, svol_planes=svol_planes)
 
     state = run(key, imgs, batch)
     return jax.tree.map(lambda a: a[:R_orig], state)
