@@ -42,10 +42,18 @@ from tsar_mvs_tpu.config import AlgorithmParams
 from tsar_mvs_tpu.ops import checkerboard as cb
 from tsar_mvs_tpu.ops.ncc import RefStats, window_offsets
 
-# Window halo in packed space: j in [-5, 5]; packed dx = (i-1)//2 + rowp
-# for i in [-5, 5] -> dx in [-3, 3].
-HALO_Y = 5
-HALO_X = 3
+# Window halo need: j in [-5, 5] packed rows; packed dx = (i-1)//2 +
+# rowp for i in [-5, 5] -> [-3, 4] packed cols. The stored halo is
+# larger so every in-kernel DMA slice is Mosaic-aligned: slice shapes
+# must be multiples of the (8, 128) tile on the last two dims and
+# offsets tile-aligned — so the slab is (KS, TILE_H + 16, TILE_W + 128)
+# at offsets (16k, 64ty, 128tx). The halo is built by edge-padding the
+# DENSE volume (even pads, so parity classes are preserved) before
+# parity compression — halo values then equal the dense-edge-clamped
+# samples the XLA sweep reads (packed-space clamping would map
+# "dense x<0 -> x=0" to "x=rowp", a border divergence).
+HALO_Y = 8       # packed = dense rows (even, multiple of 8)
+HALO_X = 64      # packed cols = 128 dense cols (multiple of 128 total)
 KS = 16          # planes per DMA chunk
 TILE_H = 64      # packed-tile rows
 TILE_W = 128     # packed-tile cols (lane width)
@@ -57,18 +65,23 @@ def _interpret() -> bool:
 
 def pad_parity_volume(vol_dense: jnp.ndarray, parity: int,
                       tiles_h: int, tiles_w: int) -> jnp.ndarray:
-    """Parity-compress a dense (S, H, W) volume and edge-pad it by the
-    window halo plus tile rounding: output (S_pad, Hp, Wp) with
-    Hp = tiles_h*TILE_H + 2*HALO_Y, Wp = tiles_w*TILE_W + 2*HALO_X and
-    S_pad the next multiple of KS (edge planes replicated)."""
-    volp = cb.parity_compress(vol_dense, parity)       # (S, H, Wc)
-    S, H, Wc = volp.shape
+    """Edge-pad a dense (S, H, W) volume by the window halo (in DENSE
+    space, so halo samples equal dense edge clamping — see HALO_DENSE
+    note) plus tile rounding, then parity-compress: output (S_pad, Hp,
+    Wp) with Hp = tiles_h*TILE_H + 2*HALO_Y, Wp = tiles_w*TILE_W +
+    2*HALO_X and S_pad the next multiple of KS (edge planes replicated).
+    """
+    S, H, W = vol_dense.shape
     pad_s = (-S) % KS
     pad_h = tiles_h * TILE_H - H
-    pad_w = tiles_w * TILE_W - Wc
-    return jnp.pad(volp, ((0, pad_s),
-                          (HALO_Y, HALO_Y + pad_h),
-                          (HALO_X, HALO_X + pad_w)), mode="edge")
+    pad_w = 2 * (tiles_w * TILE_W - W // 2)
+    padded = jnp.pad(vol_dense,
+                     ((0, pad_s),
+                      (HALO_Y, HALO_Y + pad_h),
+                      (2 * HALO_X, 2 * HALO_X + pad_w)), mode="edge")
+    # All pads are even, so the padded origin shift preserves each
+    # pixel's parity class: compress directly.
+    return cb.parity_compress(padded, parity)
 
 
 def _svol_ncc_kernel(offsets, S_real: int, s_lo: float, inv_ds: float,
@@ -233,7 +246,7 @@ def svolume_cost_pallas(vol_padded: jnp.ndarray, S_real: int,
             tile2(C), tile2(C), tile2(C),          # s0, sx, sy
             tile2(O), tile2(O),                    # weights, ref_centered
             tile2(), tile2(), tile2(), tile2(),    # meanr, varr, invw, cen
-            pl.BlockSpec(memory_space=pltpu.ANY),  # volume (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),     # volume (HBM)
         ],
         out_specs=tile2(C),
         out_shape=jax.ShapeDtypeStruct(
