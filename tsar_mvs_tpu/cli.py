@@ -112,15 +112,42 @@ def cmd_gipuma(argv: list[str]) -> int:
     if ns.algorithm != "pm":
         print(f"warning: --algorithm={ns.algorithm} selects a Gipuma "
               "variant TSAR does not run; proceeding with pm (NCC)")
+    if ns.color_processing:
+        # Explicit reject (main.cpp:766,1151-1185 float4 texture path):
+        # the TSAR scripts never pass it and every view loads grayscale
+        # here (pipeline._read_gray), matching the reference's default
+        # IMREAD_GRAYSCALE path.
+        print("warning: -color_processing is not implemented; views are "
+              "matched on grayscale intensity (the reference scripts' "
+              "operating point)")
+    if ns.seed_file:
+        # Reference parity: getParametersFromCommandLine stores
+        # --initial_seed but no code path ever reads it
+        # (main.cpp:934-935,947 — the print is commented out).
+        print("warning: --initial_seed is parsed but unused, exactly as "
+              "in the reference (main.cpp:935 stores it; nothing "
+              "consumes it)")
 
     from tsar_mvs_tpu import pipeline
+    if ns.pmvs_folder:
+        # PMVS layout (main.cpp:949-964): images under visualize/, Strecha
+        # P matrices under txt/, and --camera_idx picks the reference
+        # image (the reference swaps it to slot 0).
+        print(f"Using pmvs information inside directory {ns.pmvs_folder}")
+        ns.images_folder = str(Path(ns.pmvs_folder) / "visualize")
+        ns.p_folder = str(Path(ns.pmvs_folder) / "txt")
+        ns.images = []
     scene = pipeline.load_scene(Path(ns.mslp_folder),
                                 images_folder=ns.images_folder,
                                 p_folder=ns.p_folder,
                                 calib_file=ns.calib_file,
                                 depth_min=ns.depth_min,
                                 depth_max=ns.depth_max)
-    ref_name = Path(ns.images[0]).stem if ns.images else scene.names[0]
+    if ns.pmvs_folder:
+        ref_name = scene.names[ns.camera_idx]
+        print(f"Using image {ref_name} as reference camera")
+    else:
+        ref_name = Path(ns.images[0]).stem if ns.images else scene.names[0]
     ref_idx = scene.names.index(ref_name)
     params = _alg_params(ns)
     if ns.bounding_folder:

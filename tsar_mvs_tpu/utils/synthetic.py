@@ -126,6 +126,42 @@ class SyntheticScene:
         return root
 
 
+def source_coverage(scene: "SyntheticScene", ref: int = 0,
+                    src_views=None, border: int = 1,
+                    occl_tol: float = 0.01) -> np.ndarray:
+    """Per-pixel count of source views in which the ref pixel's GT
+    surface point is actually observable (reprojection in bounds and not
+    occluded, by the source view's own GT depth).
+
+    Pixels with count 0 cannot be matched by ANY multi-view stereo
+    method — at the bench scene's 40-degree arc that is ~17% of textured
+    ref pixels, which caps naive all-textured acc<2% at ~0.83 (the
+    "0.723 plateau" of rounds 1-2 was this ceiling, not the engine:
+    restricted to count>=1 pixels the engine measures 0.94)."""
+    H, W = scene.depth.shape[1:]
+    src_views = range(1, scene.num_views) if src_views is None else src_views
+    gt = scene.depth[ref]
+    K, R, t = scene.K, scene.R, scene.t
+    xx, yy = np.meshgrid(np.arange(W), np.arange(H))
+    pix = np.stack([xx, yy, np.ones_like(xx)], -1).astype(np.float64)
+    X_cam = np.einsum("ij,hwj->hwi", np.linalg.inv(K), pix) * gt[..., None]
+    X_w = np.einsum("ij,hwj->hwi", R[ref].T, X_cam - t[ref])
+    n_cover = np.zeros((H, W), np.int32)
+    for v in src_views:
+        Xv = np.einsum("ij,hwj->hwi", R[v], X_w) + t[v]
+        z = Xv[..., 2]
+        q = np.einsum("ij,hwj->hwi", K, Xv)
+        qx = q[..., 0] / q[..., 2]
+        qy = q[..., 1] / q[..., 2]
+        inb = ((z > 0) & (qx >= border) & (qx <= W - 1 - border)
+               & (qy >= border) & (qy <= H - 1 - border))
+        gy = np.clip(np.round(qy).astype(int), 0, H - 1)
+        gx = np.clip(np.round(qx).astype(int), 0, W - 1)
+        vis = inb & (z <= scene.depth[v][gy, gx] * (1.0 + occl_tol))
+        n_cover += vis.astype(np.int32)
+    return n_cover
+
+
 def _write_png_gray(path: Path, img: np.ndarray) -> None:
     """Minimal 8-bit grayscale PNG writer (no external deps)."""
     import struct
