@@ -90,8 +90,14 @@ def main() -> int:
         _, slic_res = pipeline.run_slic_stage(scene.images[0], params)
         force(slic_res.labels)
         t0 = mark("slic", t0)
-        state = force(pm.run_patchmatch(key, imgs, view_ids, cams, params,
-                                        iterations=iters))
+        # The pipeline's coarse-to-fine path (pipeline.process_view):
+        # coarse levels seed the full-res solve, which keeps the Pallas
+        # kernel's per-tile s-brackets narrow from iteration 1.
+        levels = (4, 2, 1) if H >= 1024 else (2, 1)
+        state = force(pm.run_patchmatch_pyramid(
+            key, imgs, view_ids, list(scene.P), params, levels=levels,
+            iterations_per_level=tuple([iters] * len(levels)),
+            depth_min=scene.depth_min, depth_max=scene.depth_max))
         t0 = mark("patchmatch", t0)
         confid, lrdiff, disp = force(tsar.confidence_stage(
             imgs, view_ids, cams, state, params))

@@ -56,17 +56,24 @@ def main() -> int:
     iters = int(os.environ.get("TSAR_SCALE_ITERS", 2))
     refs_per_dev = int(os.environ.get("TSAR_SCALE_REFS_PER_DEV", 1))
     num_scenes = int(os.environ.get("TSAR_SCALE_SCENES", 2))
+    # "weak": R grows with devices (constant work per device; ideal =
+    # flat wall-clock). "strong": R is FIXED at refs_per_dev *
+    # max(devices) for every device count — on a spoofed CPU mesh, where
+    # all "devices" share one socket's cores, this separates real
+    # sharding/partitioning overhead (t(n)/t(1) - 1 at equal total work)
+    # from core contention, which weak scaling conflates with it.
+    mode = os.environ.get("TSAR_SCALE_MODE", "weak")
     n_src = 3
 
     all_dev = len(jax.devices())
     counts = [c for c in (1, 2, 4, 8, 16, 32) if c <= all_dev]
-    print(f"# scaling: {H}x{W}x{iters}it, {refs_per_dev} refs/dev, "
-          f"{num_scenes} scenes, devices={all_dev} "
+    print(f"# scaling[{mode}]: {H}x{W}x{iters}it, {refs_per_dev} "
+          f"refs/dev, {num_scenes} scenes, devices={all_dev} "
           f"({jax.devices()[0].platform})", file=sys.stderr)
 
     results = []
     for n_dev in counts:
-        R = refs_per_dev * n_dev
+        R = refs_per_dev * (max(counts) if mode == "strong" else n_dev)
         # Multi-scene batching: round-robin the scenes' views into one
         # batch (each scene contributes R // num_scenes or so refs).
         batches = []
@@ -124,9 +131,9 @@ def main() -> int:
 
     t1 = results[0][1]
     tn = results[-1][1]
-    eff = t1 / tn  # weak scaling: ideal == 1.0
+    eff = t1 / tn  # ideal == 1.0 in both modes (see `mode` above)
     print(json.dumps({
-        "metric": "weak_scaling_efficiency",
+        "metric": f"{mode}_scaling_efficiency",
         "value": round(eff, 3),
         "unit": f"t(1dev)/t({results[-1][0]}dev) @{H}x{W}",
         "vs_baseline": round(eff / 0.85, 3),

@@ -117,6 +117,15 @@ class AlgorithmParams:
     svolume_step_px: float = 1.0
     svolume_margin: float = 0.125
     svolume_budget_mb: int = 4096
+    # Tile-blocked refinement (Pallas kernel path only): coarse random
+    # disparity scales draw u = frac(u_tile + u_pixel*jfrac) with
+    # jfrac = min(1, block_cap/delta_z), block_cap =
+    # max_disparity * refine_block_frac. The per-pixel MARGINAL stays
+    # exactly uniform (u_tile is uniform; frac() wraps mod 1) while the
+    # per-(64, 128)-tile spread is bounded by jfrac — so the kernel's
+    # per-tile s-bracket stays narrow and it skips the planes the tile
+    # doesn't touch. 0 disables (pure per-pixel draws everywhere).
+    refine_block_frac: float = 1.0 / 32.0
 
     @property
     def hrad(self) -> int:

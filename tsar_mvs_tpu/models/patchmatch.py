@@ -263,7 +263,8 @@ def _refinement_pass(state: PlaneState, parity: int, key: jax.Array,
                      cost_fn, rays: jnp.ndarray, cams: geo.CameraSet,
                      params: AlgorithmParams,
                      skip_mask: jnp.ndarray | None = None,
-                     pctx: ParityCtx | None = None) -> PlaneState:
+                     pctx: ParityCtx | None = None,
+                     blocked: bool = False) -> PlaneState:
     """One checkerboard plane-refinement half-pass: multi-scale random
     search in (disparity, normal) space with sequential accepts
     (planeRefinement_cu + getRndDispAndUnitVector_cu,
@@ -319,6 +320,22 @@ def _refinement_pass(state: PlaneState, parity: int, key: jax.Array,
         min_delta = -jnp.minimum(delta_z, params.min_disparity + disp_now)
         max_delta = jnp.minimum(delta_z, params.max_disparity - disp_now)
         u = jax.random.uniform(k_z, shape, jnp.float32)
+        if blocked:
+            # Tile-blocked coarse scales (config.refine_block_frac):
+            # u = frac(u_tile + u_pixel*jfrac) — per-pixel marginal stays
+            # exactly uniform while the spread inside one Pallas kernel
+            # tile (pallas_ncc.TILE_H x TILE_W on the packed grid) is
+            # bounded by jfrac, so the kernel's per-tile s-bracket walk
+            # skips the planes the tile doesn't touch. jfrac -> 1 at fine
+            # scales recovers the pure per-pixel draw.
+            bh, bw = -(-shape[0] // 64), -(-shape[1] // 128)
+            u_t = jax.random.uniform(jax.random.fold_in(k_z, 7),
+                                     (bh, bw), jnp.float32)
+            u_t = jnp.repeat(jnp.repeat(u_t, 64, 0), 128,
+                             1)[:shape[0], :shape[1]]
+            jfrac = jnp.minimum(1.0, params.max_disparity
+                                * params.refine_block_frac / delta_z)
+            u = jnp.mod(u_t + u * jfrac, 1.0)
         dz = min_delta + u * (max_delta - min_delta)
         disp_new = jnp.clip(disp_now + dz, params.min_disparity,
                             params.max_disparity)
@@ -359,10 +376,13 @@ def _refinement_pass(state: PlaneState, parity: int, key: jax.Array,
 def make_patchmatch_step(cost_fn, rays: jnp.ndarray, cams: geo.CameraSet,
                          params: AlgorithmParams,
                          skip_mask: jnp.ndarray | None = None,
-                         pctx: ParityCtx | None = None):
+                         pctx: ParityCtx | None = None,
+                         blocked_refine: bool = False):
     """One full iteration: black prop, black refine, red prop, red refine
     (gipuma.cu:1744-1754 loop body). cost_fn(normal, d, parity) — parity
-    None evaluates on the dense grid, 0/1 on the packed half-grid."""
+    None evaluates on the dense grid, 0/1 on the packed half-grid.
+    blocked_refine: tile-block the coarse random-search scales (Pallas
+    kernel path; see config.refine_block_frac)."""
     def step(it: jnp.ndarray, carry: tuple[PlaneState, jax.Array]):
         state, key = carry
         it_key = jax.random.fold_in(key, it)
@@ -372,7 +392,7 @@ def make_patchmatch_step(cost_fn, rays: jnp.ndarray, cams: geo.CameraSet,
             state = _refinement_pass(state, parity,
                                      jax.random.fold_in(it_key, parity),
                                      cost_fn, rays, cams, params,
-                                     skip_mask, pctx)
+                                     skip_mask, pctx, blocked_refine)
         return (state, key)
     return step
 
@@ -488,7 +508,9 @@ def _run_patchmatch_jit(key: jax.Array, imgs: jnp.ndarray,
                                           stats.rays, cost_fn, params)
         iters = params.iterations if iterations is None else iterations
         step = make_patchmatch_step(cost_fn, stats.rays, cams, params,
-                                    pctx=pctx)
+                                    pctx=pctx,
+                                    blocked_refine=params.refine_block_frac
+                                    > 0)
         state, _ = jax.lax.fori_loop(0, iters, step, (init_state, key))
         return state
 

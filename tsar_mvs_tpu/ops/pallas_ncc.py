@@ -91,6 +91,11 @@ def _svol_ncc_kernel(offsets, S_real: int, s_lo: float, inv_ds: float,
                      varr_ref, invw_ref, center_ref, vol_ref, out_ref,
                      # scratch
                      volbuf, k0buf, fbuf, acc_s, acc_ss, acc_rs, sem):
+    # Pixels with var_ref < min_var are forced to cost_max by the final
+    # low-var override no matter what was accumulated — so they are
+    # excluded from the tile's s-bracket (weak-texture pixels never
+    # converge and would otherwise pin every tile's bracket to the full
+    # range). Padded pixels carry var_ref = 0 and drop out the same way.
     C = s0_ref.shape[0]
     O = len(offsets)
     ty = pl.program_id(0)
@@ -102,11 +107,15 @@ def _svol_ncc_kernel(offsets, S_real: int, s_lo: float, inv_ds: float,
     rowp = ((jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
              + y0 + parity) % 2)
 
+    textured = varr_ref[...] >= min_var
+
     def one_candidate(c, _):
         s0 = s0_ref[c]
         sx = sx_ref[c]
         sy = sy_ref[c]
-        # Per-offset bracket maps + tile s-range.
+        # Per-offset bracket maps + tile s-range over TEXTURED pixels
+        # only (see note above). An all-weak tile yields an empty chunk
+        # walk (c_lo > c_hi) and the low-var override supplies cost_max.
         tmin = jnp.float32(float(S_real))
         tmax = jnp.float32(0.0)
         for o, (i, j) in enumerate(offsets):
@@ -115,8 +124,10 @@ def _svol_ncc_kernel(offsets, S_real: int, s_lo: float, inv_ds: float,
             k0 = jnp.floor(jnp.minimum(t, float(S_real - 2)))
             k0buf[o] = k0
             fbuf[o] = t - k0
-            tmin = jnp.minimum(tmin, jnp.min(k0))
-            tmax = jnp.maximum(tmax, jnp.max(k0))
+            tmin = jnp.minimum(
+                tmin, jnp.min(jnp.where(textured, k0, float(S_real))))
+            tmax = jnp.maximum(
+                tmax, jnp.max(jnp.where(textured, k0, 0.0)))
         acc_s[:] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
         acc_ss[:] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
         acc_rs[:] = jnp.zeros((TILE_H, TILE_W), jnp.float32)

@@ -44,14 +44,15 @@ class Rect3D:
 
 
 def value_noise(X: np.ndarray, seed: int = 0, octaves: int = 4,
-                base_freq: float = 2.0) -> np.ndarray:
+                base_freq: float = 2.0,
+                persistence: float = 0.5) -> np.ndarray:
     """Deterministic multi-octave value noise over 3-D points X (..., 3),
     in [0, 1]. Hash-based — view-consistent by construction."""
     out = np.zeros(X.shape[:-1])
     amp_total = 0.0
     for o in range(octaves):
         freq = base_freq * (2.0 ** o)
-        amp = 0.5 ** o
+        amp = persistence ** o
         P = X * freq
         P0 = np.floor(P).astype(np.int64)
         f = P - P0
@@ -330,7 +331,20 @@ def make_scene(height: int = 96, width: int = 128, num_views: int = 5,
             valid = (np.isfinite(s) & (s > 0) & (u >= 0) & (u <= 1)
                      & (w_ >= 0) & (w_ <= 1) & (s < best_s))
             if rect.textured:
-                val = 0.15 + 0.7 * value_noise(X, seed=seed)
+                # Resolution-matched texture: extend the octave ladder so
+                # the finest octave has a ~2-4 px wavelength at THIS
+                # render size, with a 0.7 persistence (flatter spectrum,
+                # like real photographs). A fixed 4-octave/0.5 spectrum
+                # becomes per-pixel smooth at >=1K renders, and the
+                # Roberts weak-texture detector (correctly, per its
+                # reference thresholds) then flags most of the image as
+                # textureless — which is scene unrealism, not detector
+                # or engine error.
+                px_per_unit = f / 5.0      # typical scene depth ~5
+                octs = int(np.clip(np.ceil(np.log2(
+                    max(px_per_unit / 3.0, 4.0) / 2.0)) + 1, 4, 9))
+                val = 0.15 + 0.7 * value_noise(X, seed=seed, octaves=octs,
+                                               persistence=0.7)
             else:
                 val = np.full(s.shape, rect.albedo)
             in_patch = np.zeros(s.shape, bool)
