@@ -174,3 +174,37 @@ def test_pallas_multi_tile(setup):
     delta = np.abs(c_ref - c_pal)
     sharp = np.minimum(c_ref, c_pal) < 0.99
     _assert_cost_agreement(delta, sharp)
+
+
+def test_pallas_narrow_bracket_converged_field(setup):
+    """A smooth converged-like field (GT depth + near-frontal normals)
+    produces NARROW per-tile s-brackets — the regime the kernel's
+    data-dependent window walk actually optimizes (random fields cover
+    the whole range and never exercise bracket-edge handling)."""
+    scene, cams, params, view_ids, stats, vol, counts, s_lo, vols_p = setup
+    gt = np.where(np.isfinite(scene.depth[0]), scene.depth[0],
+                  0.5 * (scene.depth_min + scene.depth_max))
+    depth = jnp.asarray(gt, jnp.float32)
+    vv = geo.view_vectors(cams, H, W)
+    n = geo.hemisphere_flip(geo.normalize(jnp.asarray(
+        np.stack([np.full((H, W), 0.05), np.full((H, W), 0.03),
+                  np.ones((H, W))], -1), jnp.float32)), vv)
+    rays = geo.pixel_rays(cams, H, W)
+    d = geo.plane_d_from_depth(n, rays, depth)
+    ids = jnp.asarray(view_ids, jnp.int32)
+    valid = jnp.ones((len(view_ids),), bool)
+    for parity in (0, 1):
+        stats_p = ncc.compress_stats(stats, parity)
+        n_p = cb.parity_compress_vec(n, parity)
+        d_p = cb.parity_compress(d, parity)
+        mv_ref = sv.multiview_cost_svolume(vol, ids, valid, n_p, d_p,
+                                           stats_p, params, parity=parity)
+        mv_pal = pn.multiview_cost_pallas(vols_p[parity], counts, s_lo,
+                                          vol.inv_ds, ids, valid, n_p,
+                                          d_p, stats_p, params, parity)
+        c_ref = np.asarray(mv_ref.cost)
+        c_pal = np.asarray(mv_pal.cost)
+        delta = np.abs(c_ref - c_pal)
+        sharp = np.minimum(c_ref, c_pal) < 0.99
+        assert sharp.mean() > 0.5
+        _assert_cost_agreement(delta, sharp)

@@ -1,38 +1,10 @@
 """End-to-end pipeline test: export a synthetic scene to disk, run the
 scene pipeline through the CLI surface, fuse, and validate artifacts."""
 
-import json
-
 import numpy as np
 import pytest
 
 from tsar_mvs_tpu.config import AlgorithmParams, FusionParams
-
-
-@pytest.mark.slow
-def test_gipuma_cli_reference_script_line(tmp_path):
-    """A scripts/courtyard.sh:44-style invocation runs verbatim: all
-    positional images, -mslp_folder/-images_folder/-krt_file/
-    -output_folder/-no_display, equals-style flags, and the script's
-    unset-shell-var artifacts (`--min_angle=`)."""
-    from tsar_mvs_tpu.utils.synthetic import make_scene
-    from tsar_mvs_tpu.cli import main
-
-    scene_gt = make_scene(height=48, width=64, num_views=3, seed=3)
-    root = scene_gt.export(tmp_path / "scene")
-    imgs = sorted(p.name for p in (root / "images").iterdir())
-    argv = list(imgs) + [
-        "-mslp_folder", str(root),
-        "-images_folder", str(root / "images"),
-        "-krt_file", "dino_par.txt",
-        "-output_folder", str(root / "results"),
-        "-no_display", "--cam_scale=1", "--iterations=1",
-        "--blocksize=11", "--cost_gamma=10", "--cost_comb=best_n",
-        "--n_best=1", "--min_angle=", "--max_angle="]
-    assert main(argv) == 0
-    out = root / "results" / imgs[0].split(".")[0]
-    assert (out / "TSAR_disp.dmb").exists()
-    assert (out / "TSAR_normals.dmb").exists()
 
 
 @pytest.mark.slow
@@ -97,31 +69,3 @@ def test_scene_pipeline_end_to_end(tmp_path):
     pts, nrm, col = ply.read_ply(fused)
     assert pts.shape[0] > 1000
     assert np.isfinite(pts).all()
-
-
-@pytest.mark.slow
-def test_gipuma_cli_pmvs_folder(tmp_path):
-    """--pmvs_folder input (main.cpp:949-964): images from visualize/,
-    Strecha P matrices from txt/, --camera_idx picks the reference."""
-    from tsar_mvs_tpu.utils.synthetic import make_scene
-    from tsar_mvs_tpu.cli import main
-
-    scene_gt = make_scene(height=48, width=64, num_views=3, seed=3)
-    root = scene_gt.export(tmp_path / "scene")
-    pmvs = tmp_path / "pmvs"
-    (pmvs / "visualize").mkdir(parents=True)
-    (pmvs / "txt").mkdir()
-    for i, png in enumerate(sorted((root / "images").glob("*.png"))):
-        (pmvs / "visualize" / png.name).write_bytes(png.read_bytes())
-        P = scene_gt.P[i]
-        lines = "\n".join(" ".join(f"{v:.10g}" for v in row) for row in P)
-        (pmvs / "txt" / f"{png.stem}.P").write_text(lines + "\n")
-    argv = ["--pmvs_folder", str(pmvs), "--camera_idx", "1",
-            "-mslp_folder", str(tmp_path / "scene"),
-            "-output_folder", str(tmp_path / "results"),
-            "-no_display", "--iterations=1",
-            "--depth_min", f"{scene_gt.depth_min}",
-            "--depth_max", f"{scene_gt.depth_max}"]
-    assert main(argv) == 0
-    out = tmp_path / "results" / "00000001"
-    assert (out / "TSAR_disp.dmb").exists()

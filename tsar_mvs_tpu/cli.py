@@ -34,6 +34,8 @@ def _alg_params(ns) -> "AlgorithmParams":
         v = getattr(ns, flag, None)
         if v is not None:
             kw[field] = v
+    if getattr(ns, "color_processing", False):
+        kw["color_processing"] = True
     return AlgorithmParams(**kw)
 
 
@@ -113,13 +115,12 @@ def cmd_gipuma(argv: list[str]) -> int:
         print(f"warning: --algorithm={ns.algorithm} selects a Gipuma "
               "variant TSAR does not run; proceeding with pm (NCC)")
     if ns.color_processing:
-        # Explicit reject (main.cpp:766,1151-1185 float4 texture path):
-        # the TSAR scripts never pass it and every view loads grayscale
-        # here (pipeline._read_gray), matching the reference's default
-        # IMREAD_GRAYSCALE path.
-        print("warning: -color_processing is not implemented; views are "
-              "matched on grayscale intensity (the reference scripts' "
-              "operating point)")
+        # Color matching (main.cpp:766,909 float4 texture path). The
+        # reference's own color instantiation reads the float4 texture
+        # through tex2D<float> (gipuma.cu:248,263 — UB); ours implements
+        # the float4 design intent (ops/ncc_color.py).
+        print("color processing enabled: 3-channel bilateral NCC "
+              "(direct sampler)")
     if ns.seed_file:
         # Reference parity: getParametersFromCommandLine stores
         # --initial_seed but no code path ever reads it

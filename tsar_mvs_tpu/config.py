@@ -103,6 +103,11 @@ class AlgorithmParams:
     wmf_drift_thr: float = 24.0
     # Confidence / LR check.
     lr_diff_clamp: float = 1.0
+    # Color (float4-equivalent) matching (-color_processing,
+    # main.cpp:766,909): 3-channel bilateral NCC on the direct sampler
+    # (ops/ncc_color.py documents the reference divergence — its own
+    # color path reads a float4 texture through tex2D<float>, UB).
+    color_processing: bool = False
     # NCC sampler implementation for the PatchMatch hot loop.
     #   "auto"    — epipolar s-volume on TPU when n_best == 1 (the
     #               gather-free TPU-native path, ops/svolume.py), direct

@@ -328,10 +328,12 @@ def _refinement_pass(state: PlaneState, parity: int, key: jax.Array,
             # bounded by jfrac, so the kernel's per-tile s-bracket walk
             # skips the planes the tile doesn't touch. jfrac -> 1 at fine
             # scales recovers the pure per-pixel draw.
-            bh, bw = -(-shape[0] // 64), -(-shape[1] // 128)
+            from tsar_mvs_tpu.ops import pallas_ncc as pn
+            th, tw = pn.TILE_H, pn.TILE_W
+            bh, bw = -(-shape[0] // th), -(-shape[1] // tw)
             u_t = jax.random.uniform(jax.random.fold_in(k_z, 7),
                                      (bh, bw), jnp.float32)
-            u_t = jnp.repeat(jnp.repeat(u_t, 64, 0), 128,
+            u_t = jnp.repeat(jnp.repeat(u_t, th, 0), tw,
                              1)[:shape[0], :shape[1]]
             jfrac = jnp.minimum(1.0, params.max_disparity
                                 * params.refine_block_frac / delta_z)
@@ -436,15 +438,18 @@ def _make_pallas_cost_and_ctx(stats, cams: geo.CameraSet, height: int,
 
 
 def _make_cost_and_ctx(stats, cams: geo.CameraSet, height: int,
-                       width: int, eval_view_cost):
+                       width: int, eval_view_cost, compress=None):
     """Shared plumbing for the parity-packed cost path: returns
     (cost_fn(normal, d, parity), pctx) with parity-compressed RefStats,
     or a dense-only cost_fn and pctx=None when H/W are odd.
-    eval_view_cost(normal, d, stats, coords, parity) -> MultiviewCost."""
+    eval_view_cost(normal, d, stats, coords, parity) -> MultiviewCost.
+    compress: stats parity-compressor (default ncc.compress_stats; the
+    color path passes ncc_color.compress_stats_color)."""
+    compress = compress or ncc.compress_stats
     if cb.parity_compressible(height, width):
         stats_p = {None: stats,
-                   0: ncc.compress_stats(stats, 0),
-                   1: ncc.compress_stats(stats, 1)}
+                   0: compress(stats, 0),
+                   1: compress(stats, 1)}
         pctx = make_parity_ctx(stats_p, cams, height, width)
 
         def cost_fn(normal, d, parity=None):
@@ -462,14 +467,21 @@ def run_patchmatch(key: jax.Array, imgs: jnp.ndarray,
                    view_ids: tuple[int, ...], cams: geo.CameraSet,
                    params: AlgorithmParams,
                    iterations: int | None = None,
-                   init_state: PlaneState | None = None) -> PlaneState:
+                   init_state: PlaneState | None = None,
+                   imgs_color: jnp.ndarray | None = None) -> PlaneState:
     """Full PatchMatch: random (or prior) init + N checkerboard iterations.
 
     imgs: (V, H, W) float32, index 0 = reference view. Host-side wrapper:
     resolves the NCC sampler (resolve_ncc_impl) and, for the s-volume
     path, derives the static per-view plane counts before entering jit.
+    imgs_color (V, 3, H, W) + params.color_processing selects the color
+    (float4-equivalent) NCC direct path (ops/ncc_color.py).
     """
     H, W = imgs.shape[1:]
+    if params.color_processing and imgs_color is not None:
+        return _run_patchmatch_color_jit(key, imgs_color, tuple(view_ids),
+                                         cams, params, iterations,
+                                         init_state)
     impl = resolve_ncc_impl(params, H, W)
     svol_planes = None
     if impl in ("svolume", "pallas"):
@@ -566,6 +578,40 @@ def _run_patchmatch_jit(key: jax.Array, imgs: jnp.ndarray,
     return state
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("view_ids", "params", "iterations"))
+def _run_patchmatch_color_jit(key: jax.Array, imgs_color: jnp.ndarray,
+                              view_ids: tuple[int, ...],
+                              cams: geo.CameraSet,
+                              params: AlgorithmParams,
+                              iterations: int | None = None,
+                              init_state: PlaneState | None = None
+                              ) -> PlaneState:
+    """`-color_processing` PatchMatch: 3-channel bilateral NCC on the
+    direct sampler (ops/ncc_color.py documents the float4-intent
+    semantics and the reference divergence)."""
+    from tsar_mvs_tpu.ops import ncc_color as nc
+    V, _, H, W = imgs_color.shape
+    stats = nc.precompute_ref_stats_color(imgs_color[0], cams, params)
+    packed = {v: nc.pack_image_color(imgs_color[v]) for v in view_ids}
+
+    def eval_view_cost(normal, d, st, coords, parity=None):
+        return nc.multiview_cost_color(packed, view_ids, cams, normal, d,
+                                       st, params, coords=coords)
+
+    cost_fn, pctx = _make_cost_and_ctx(stats, cams, H, W, eval_view_cost,
+                                       compress=nc.compress_stats_color)
+    init_key, key = jax.random.split(key)
+    if init_state is None:
+        init_state = random_init_with(init_key, (H, W), cams, stats.rays,
+                                      cost_fn, params)
+    iters = params.iterations if iterations is None else iterations
+    step = make_patchmatch_step(cost_fn, stats.rays, cams, params,
+                                pctx=pctx)
+    state, _ = jax.lax.fori_loop(0, iters, step, (init_state, key))
+    return state
+
+
 # ---------------------------------------------------------------------------
 # Batched multi-reference-view runner — the unit that shards over a
 # `("view",)` device mesh (SURVEY.md §2 "per-view task parallelism": the
@@ -646,17 +692,27 @@ def patchmatch_one_ref(key: jax.Array, imgs: jnp.ndarray,
                                            params.svolume_margin)
         vol = sv.build_svolume(src_imgs, A, b, s_lo, s_hi, svol_planes)
 
-        def eval_view_cost(normal, d, st, coords, parity=None):
-            return sv.multiview_cost_svolume(vol, src_ids, src_valid,
-                                             normal, d, st, params,
-                                             parity=parity)
-        cost_fn, pctx = _make_cost_and_ctx(stats, cams, H, W,
-                                           eval_view_cost)
+        if resolve_ncc_impl(params, H, W) == "pallas":
+            # The Mosaic kernel path (traced A/b are fine — the plane
+            # counts are static via svol_planes; src_valid masks per
+            # slot inside the view aggregation).
+            cost_fn, pctx = _make_pallas_cost_and_ctx(
+                stats, cams, H, W, vol.data, svol_planes, s_lo, s_hi,
+                src_ids, src_valid, params)
+            blocked = params.refine_block_frac > 0
+        else:
+            def eval_view_cost(normal, d, st, coords, parity=None):
+                return sv.multiview_cost_svolume(vol, src_ids, src_valid,
+                                                 normal, d, st, params,
+                                                 parity=parity)
+            cost_fn, pctx = _make_cost_and_ctx(stats, cams, H, W,
+                                               eval_view_cost)
+            blocked = False
         init_key, key = jax.random.split(key)
         init_state = random_init_with(init_key, (H, W), cams, stats.rays,
                                       cost_fn, params)
         step = make_patchmatch_step(cost_fn, stats.rays, cams, params,
-                                    pctx=pctx)
+                                    pctx=pctx, blocked_refine=blocked)
         state, _ = jax.lax.fori_loop(0, iterations, step,
                                      (init_state, key))
         return state
@@ -718,7 +774,7 @@ def svolume_plane_counts_batch(batch: SceneBatch, height: int, width: int,
     """Static per-source-slot plane counts for a SceneBatch (host side,
     concrete batch): the max over reference views per slot, so one count
     tuple serves every ref in the (possibly sharded) batch."""
-    if resolve_ncc_impl(params) != "svolume":
+    if resolve_ncc_impl(params, height, width) not in ("svolume", "pallas"):
         return None
     import numpy as np
     A = np.asarray(batch.A)          # (R, S, 3, 3)
@@ -812,27 +868,37 @@ def run_patchmatch_pyramid(key: jax.Array, imgs: jnp.ndarray,
                            iterations_per_level: tuple[int, ...] | None
                            = None,
                            depth_min: float | None = None,
-                           depth_max: float | None = None) -> PlaneState:
+                           depth_max: float | None = None,
+                           imgs_color: jnp.ndarray | None = None
+                           ) -> PlaneState:
     """Coarse-to-fine PatchMatch over `levels` (downsample factors,
     coarse to fine, last must be 1). Returns the full-resolution state.
 
     P_list: raw (unscaled) projection matrices in pipeline order
-    (index 0 = reference)."""
+    (index 0 = reference). imgs_color (V, 3, H, W): color NCC mode
+    (downsample_2x pyramids the trailing dims, so channels ride along).
+    """
     import dataclasses
     assert levels[-1] == 1
     if iterations_per_level is None:
         iterations_per_level = tuple([params.iterations] * len(levels))
     dmin = params.depth_min if depth_min is None else depth_min
     dmax = params.depth_max if depth_max is None else depth_max
+    color = params.color_processing and imgs_color is not None
 
     # Image pyramids (device-side).
     pyr = {1: imgs}
+    pyr_c = {1: imgs_color}
     fac = 1
     cur = imgs
+    cur_c = imgs_color
     while fac < max(levels):
         cur = downsample_2x(cur)
+        if color:
+            cur_c = downsample_2x(cur_c)
         fac *= 2
         pyr[fac] = cur
+        pyr_c[fac] = cur_c
 
     state = None
     for li, s in enumerate(levels):
@@ -846,14 +912,27 @@ def run_patchmatch_pyramid(key: jax.Array, imgs: jnp.ndarray,
             Hs, Ws = imgs_s.shape[1:]
             state = upsample_state_2x(state, cams_s, Hs, Ws)
             # Re-evaluate the lifted planes' costs at this scale.
-            stats = ncc.precompute_ref_stats(imgs_s[0], cams_s, params_s)
-            mv = ncc.multiview_cost(imgs_s, view_ids, cams_s,
-                                    state.normal, state.d, stats, params_s)
+            if color:
+                from tsar_mvs_tpu.ops import ncc_color as nc
+                stats_c = nc.precompute_ref_stats_color(pyr_c[s][0],
+                                                        cams_s, params_s)
+                packed_c = {v: nc.pack_image_color(pyr_c[s][v])
+                            for v in view_ids}
+                mv = nc.multiview_cost_color(packed_c, view_ids, cams_s,
+                                             state.normal, state.d,
+                                             stats_c, params_s)
+            else:
+                stats = ncc.precompute_ref_stats(imgs_s[0], cams_s,
+                                                 params_s)
+                mv = ncc.multiview_cost(imgs_s, view_ids, cams_s,
+                                        state.normal, state.d, stats,
+                                        params_s)
             state = PlaneState(normal=state.normal, d=state.d,
                                cost=mv.cost, ratio=mv.ratio,
                                best_view=mv.best_view)
         state = run_patchmatch(jax.random.fold_in(key, li), imgs_s,
                                view_ids, cams_s, params_s,
                                iterations=iterations_per_level[li],
-                               init_state=state)
+                               init_state=state,
+                               imgs_color=pyr_c[s] if color else None)
     return state

@@ -7,18 +7,26 @@ candidate field actually brackets (tens, once PatchMatch starts
 converging). That skip is data-dependent, which XLA cannot express; this
 kernel can: per image tile it
 
-1. computes the tile's s-bracket range (min/max over pixels, candidates
-   and the window's slant reach) with an in-kernel reduction,
-2. walks only the covered KS-plane chunks, DMAing each chunk's
-   halo-padded tile from HBM into VMEM,
-3. accumulates every window sample's interpolated value with predicated
-   selects (pure VPU — no gathers, no lane shuffles: both measured
-   ~0.15-0.27 G/s on v5e, see PERF.md),
-4. finishes the bilaterally-weighted NCC exactly as ncc.pm_cost_ab.
+1. computes the tile's s-bracket [tc - reach, tc + reach] (tc = the
+   window-center plane coordinate, reach = the window's slant spread)
+   with an in-kernel reduction over the candidate block,
+2. walks only the covered KS-plane windows of the bracket, double-
+   buffering each window's halo-padded tile DMA from HBM against the
+   previous window's compute,
+3. reconstructs every window sample with a hat-function accumulation
+   sum_k max(0, 1 - |t_o - k|) * P_k — exactly linear interpolation
+   along s — into a per-(candidate, offset) sample buffer (pure VPU:
+   no gathers, no lane shuffles; both measured ~0.15-0.27 G/s on v5e,
+   see PERF.md),
+4. finishes the bilaterally-weighted NCC from the completed samples in
+   a per-candidate epilogue, exactly as ncc.pm_cost_ab.
 
 Cost semantics are identical to svolume.svolume_cost_ab (oracle-tested
-bit-close); the candidate axis runs inside the kernel so one tile DMA
-sweep serves all 8 propagation banks.
+bit-close); the candidate axis runs as a grid dimension in blocks of
+CBLK so one window DMA + one set of shifted-plane slices serves every
+candidate in the block (the reference evaluates 8 propagation banks per
+pixel, gipuma.cu:846-1050 — v1 of this kernel re-sliced and re-DMA'd
+per candidate, an 8x redundancy).
 
 Layout notes: everything is checkerboard-parity-packed (H, W/2). Window
 offsets (i, j) have i+j even, so a parity class samples only itself; the
@@ -54,9 +62,10 @@ from tsar_mvs_tpu.ops.ncc import RefStats, window_offsets
 # "dense x<0 -> x=0" to "x=rowp", a border divergence).
 HALO_Y = 8       # packed = dense rows (even, multiple of 8)
 HALO_X = 64      # packed cols = 128 dense cols (multiple of 128 total)
-KS = 16          # planes per DMA chunk
+KS = 16          # planes per DMA window
 TILE_H = 64      # packed-tile rows
 TILE_W = 128     # packed-tile cols (lane width)
+CBLK = 2         # candidates per grid step (shared DMA/slices)
 
 
 def _interpret() -> bool:
@@ -86,22 +95,25 @@ def pad_parity_volume(vol_dense: jnp.ndarray, parity: int,
 
 def _svol_ncc_kernel(offsets, S_real: int, s_lo: float, inv_ds: float,
                      parity: int, cost_max: float, min_var: float,
+                     cblk: int,
                      # refs
                      s0_ref, sx_ref, sy_ref, w_ref, rc_ref, meanr_ref,
                      varr_ref, invw_ref, center_ref, vol_ref, out_ref,
                      # scratch
-                     volbuf, k0buf, fbuf, acc_s, acc_ss, acc_rs, sem):
+                     tbuf, xbuf, slab, sems):
     # Pixels with var_ref < min_var are forced to cost_max by the final
     # low-var override no matter what was accumulated — so they are
     # excluded from the tile's s-bracket (weak-texture pixels never
     # converge and would otherwise pin every tile's bracket to the full
     # range). Padded pixels carry var_ref = 0 and drop out the same way.
-    C = s0_ref.shape[0]
     O = len(offsets)
     ty = pl.program_id(0)
     tx = pl.program_id(1)
     y0 = ty * TILE_H
     x0 = tx * TILE_W
+    S1 = float(S_real - 1)
+    hrad = max(abs(i) for i, _ in offsets)
+    vrad = max(abs(j) for _, j in offsets)
 
     # Row parity of each packed row: off(y) = (parity + y) % 2.
     rowp = ((jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
@@ -109,103 +121,114 @@ def _svol_ncc_kernel(offsets, S_real: int, s_lo: float, inv_ds: float,
 
     textured = varr_ref[...] >= min_var
 
-    def one_candidate(c, _):
-        s0 = s0_ref[c]
-        sx = sx_ref[c]
-        sy = sy_ref[c]
-        # Per-offset bracket maps + tile s-range over TEXTURED pixels
-        # only (see note above). An all-weak tile yields an empty chunk
-        # walk (c_lo > c_hi) and the low-var override supplies cost_max.
-        tmin = jnp.float32(float(S_real))
-        tmax = jnp.float32(0.0)
+    # Per-candidate t maps (clipped plane coordinates per offset) and
+    # the block's s-bracket over textured pixels. reach bounds
+    # |i*sxn + j*syn| over the window, so [tc-reach, tc+reach] covers
+    # every offset's t — no per-offset bracket pass needed.
+    tmin = jnp.float32(S1)
+    tmax = jnp.float32(0.0)
+    for c in range(cblk):
+        tc = (s0_ref[c] - s_lo) * inv_ds
+        sxn = sx_ref[c] * inv_ds
+        syn = sy_ref[c] * inv_ds
+        reach = float(hrad) * jnp.abs(sxn) + float(vrad) * jnp.abs(syn)
+        lo = jnp.clip(tc - reach, 0.0, S1)
+        hi = jnp.clip(tc + reach, 0.0, S1)
+        tmin = jnp.minimum(tmin, jnp.min(jnp.where(textured, lo, S1)))
+        tmax = jnp.maximum(tmax, jnp.max(jnp.where(textured, hi, 0.0)))
         for o, (i, j) in enumerate(offsets):
-            s_o = s0 + float(i) * sx + float(j) * sy
-            t = jnp.clip((s_o - s_lo) * inv_ds, 0.0, float(S_real - 1))
-            k0 = jnp.floor(jnp.minimum(t, float(S_real - 2)))
-            k0buf[o] = k0
-            fbuf[o] = t - k0
-            tmin = jnp.minimum(
-                tmin, jnp.min(jnp.where(textured, k0, float(S_real))))
-            tmax = jnp.maximum(
-                tmax, jnp.max(jnp.where(textured, k0, 0.0)))
-        acc_s[:] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        acc_ss[:] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        acc_rs[:] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+            tbuf[c * O + o] = jnp.clip(tc + float(i) * sxn
+                                       + float(j) * syn, 0.0, S1)
+            xbuf[c * O + o] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
 
-        c_lo = (tmin.astype(jnp.int32) // KS)
-        c_hi = (tmax + 1.0).astype(jnp.int32) // KS + 1
+    # Hat accumulation needs k in [floor(t), floor(t)+1] for every t in
+    # the bracket (floor(min(t, S-2)) + 1 at the top edge).
+    k_lo = tmin.astype(jnp.int32)
+    k_hi = jnp.minimum(tmax, float(max(S_real - 2, 0))).astype(jnp.int32) + 1
+    n_win = jnp.maximum(0, k_hi - k_lo + KS) // KS   # cdiv(k_hi-k_lo+1, KS)
+    S_pad = vol_ref.shape[0]
 
-        def chunk_body(ci, _):
-            k_base = ci * KS
-            dma = pltpu.make_async_copy(
-                vol_ref.at[pl.ds(k_base, KS),
-                           pl.ds(y0, TILE_H + 2 * HALO_Y),
-                           pl.ds(x0, TILE_W + 2 * HALO_X)],
-                volbuf, sem)
-            dma.start()
-            dma.wait()
-            cen = center_ref[...]
+    def start_dma(w, slot):
+        base = jnp.minimum(k_lo + w * KS, S_pad - KS)
+        pltpu.make_async_copy(
+            vol_ref.at[pl.ds(base, KS),
+                       pl.ds(y0, TILE_H + 2 * HALO_Y),
+                       pl.ds(x0, TILE_W + 2 * HALO_X)],
+            slab.at[slot], sems.at[slot]).start()
 
-            def plane_body(m, _):
-                kf = (k_base + m).astype(jnp.float32)
+    @pl.when(n_win > 0)
+    def _():
+        start_dma(0, 0)
+
+    def win_body(w, _):
+        slot = w % 2
+
+        @pl.when(w + 1 < n_win)
+        def _():
+            start_dma(w + 1, (w + 1) % 2)
+
+        base = jnp.minimum(k_lo + w * KS, S_pad - KS)
+        k_start = k_lo + w * KS   # unclamped: planes < k_start were
+        pltpu.make_async_copy(     # already visited by the prior window
+            vol_ref.at[pl.ds(base, KS),
+                       pl.ds(y0, TILE_H + 2 * HALO_Y),
+                       pl.ds(x0, TILE_W + 2 * HALO_X)],
+            slab.at[slot], sems.at[slot]).wait()
+
+        def plane_body(m, _):
+            k = base + m
+
+            @pl.when((k >= k_start) & (k <= k_hi))
+            def _():
+                kf = k.astype(jnp.float32)
                 for o, (i, j) in enumerate(offsets):
                     dxa = (i - 1) // 2 + HALO_X
-                    pa = volbuf[m, HALO_Y + j:HALO_Y + j + TILE_H,
-                                dxa:dxa + TILE_W].astype(jnp.float32)
-                    pb = volbuf[m, HALO_Y + j:HALO_Y + j + TILE_H,
-                                dxa + 1:dxa + 1 + TILE_W].astype(
-                                    jnp.float32)
+                    pa = slab[slot, m, HALO_Y + j:HALO_Y + j + TILE_H,
+                              dxa:dxa + TILE_W].astype(jnp.float32)
+                    pb = slab[slot, m, HALO_Y + j:HALO_Y + j + TILE_H,
+                              dxa + 1:dxa + 1 + TILE_W].astype(jnp.float32)
                     plane = jnp.where(rowp == 1, pb, pa)
-                    k0 = k0buf[o]
-                    f = fbuf[o]
-                    # Selection weight: (1-f) at the bracket plane, f at
-                    # the next. Accumulate CENTERED samples (plane - cen)
-                    # — centering after raw accumulation cancels
-                    # catastrophically in f32 (see RefStats docstring).
-                    selw = jnp.where(
-                        k0 == kf, 1.0 - f,
-                        jnp.where(k0 == kf - 1.0, f, 0.0))
-                    contrib = selw * (plane - cen)
-                    w = w_ref[o].astype(jnp.float32)
-                    # src^2 needs the complete sample; each sample is a
-                    # sum of exactly two plane terms arriving in
-                    # ascending k order, so expand the square with the
-                    # running partial: += w*c*(2*partial + c).
-                    partial = fbuf[O + o]
-                    acc_ss[:] = (acc_ss[:]
-                                 + w * contrib * (2.0 * partial + contrib))
-                    fbuf[O + o] = partial + contrib
-                    acc_s[:] = acc_s[:] + w * contrib
-                    acc_rs[:] = (acc_rs[:]
-                                 + w * contrib
-                                 * rc_ref[o].astype(jnp.float32))
-                return 0
-
-            jax.lax.fori_loop(0, KS, plane_body, 0)
+                    for c in range(cblk):
+                        # Linear interpolation as a hat-function sum:
+                        # weights (1-f, f) land at k0, k0+1 across two
+                        # plane visits; X accumulates them linearly.
+                        hat = jnp.maximum(
+                            0.0, 1.0 - jnp.abs(tbuf[c * O + o] - kf))
+                        xbuf[c * O + o] = (xbuf[c * O + o] + hat * plane)
             return 0
 
-        for o in range(O):
-            fbuf[O + o] = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        jax.lax.fori_loop(c_lo, c_hi, chunk_body, 0)
+        jax.lax.fori_loop(0, KS, plane_body, 0)
+        return 0
 
-        # Finish NCC from the centered moments (same algebra as
-        # ncc.pm_cost_ab).
-        invw = invw_ref[...]
-        mean_ref_v = meanr_ref[...]
-        s_c = acc_s[:] * invw
-        ss_c = acc_ss[:] * invw
-        rs_c = acc_rs[:] * invw
+    jax.lax.fori_loop(0, n_win, win_body, 0)
+
+    # Epilogue: finish NCC from the completed samples (same algebra as
+    # ncc.pm_cost_ab; samples centered on the window-center intensity).
+    cen = center_ref[...]
+    invw = invw_ref[...]
+    mean_ref_v = meanr_ref[...]
+    var_ref_v = varr_ref[...]
+    for c in range(cblk):
+        acc_s = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        acc_ss = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        acc_rs = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        for o in range(O):
+            xc = xbuf[c * O + o] - cen
+            w = w_ref[o].astype(jnp.float32)
+            ws = w * xc
+            acc_s = acc_s + ws
+            acc_ss = acc_ss + ws * xc
+            acc_rs = acc_rs + ws * rc_ref[o].astype(jnp.float32)
+        s_c = acc_s * invw
+        ss_c = acc_ss * invw
+        rs_c = acc_rs * invw
         var_src = ss_c - s_c * s_c
         covar = rs_c - mean_ref_v * s_c
-        var_ref_v = varr_ref[...]
         ncc_cost = 1.0 - covar * jax.lax.rsqrt(
             jnp.maximum(var_ref_v * var_src, 1e-30))
         cost = jnp.clip(ncc_cost, 0.0, cost_max)
         low_var = (var_ref_v < min_var) | (var_src < min_var)
         out_ref[c] = jnp.where(low_var, cost_max, cost)
-        return 0
-
-    jax.lax.fori_loop(0, C, one_candidate, 0)
 
 
 def svolume_cost_pallas(vol_padded: jnp.ndarray, S_real: int,
@@ -225,13 +248,25 @@ def svolume_cost_pallas(vol_padded: jnp.ndarray, S_real: int,
     tiles_h = -(-Hc // TILE_H)
     tiles_w = -(-Wc // TILE_W)
     O = len(offsets)
+    cblk = min(CBLK, C)
+    n_cblk = -(-C // cblk)
+    C_pad = n_cblk * cblk
 
     def pad_hw(a, fill=0.0):
         pads = [(0, 0)] * (a.ndim - 2) + [
             (0, tiles_h * TILE_H - Hc), (0, tiles_w * TILE_W - Wc)]
         return jnp.pad(a, pads, constant_values=fill)
 
-    s0p, sxp, syp = pad_hw(s0), pad_hw(sx), pad_hw(sy)
+    def pad_c(a):
+        if C_pad == C:
+            return a
+        # Replicate candidate 0 (NOT zeros: a zero-plane pad would blow
+        # the block's s-bracket open to the full range).
+        return jnp.concatenate(
+            [a, jnp.broadcast_to(a[:1], (C_pad - C,) + a.shape[1:])], 0)
+
+    s0p, sxp, syp = (pad_c(pad_hw(s0)), pad_c(pad_hw(sx)),
+                     pad_c(pad_hw(sy)))
     w_p = pad_hw(stats.weights)
     rc_p = pad_hw(stats.ref_centered)
     meanr = pad_hw(stats.mean_ref)
@@ -242,40 +277,41 @@ def svolume_cost_pallas(vol_padded: jnp.ndarray, S_real: int,
     kernel = functools.partial(
         _svol_ncc_kernel, tuple(offsets), S_real, float(s_lo),
         float(inv_ds), parity, float(params.cost_max),
-        float(params.min_var))
+        float(params.min_var), cblk)
 
-    grid = (tiles_h, tiles_w)
+    grid = (tiles_h, tiles_w, n_cblk)
     tile2 = lambda *lead: pl.BlockSpec(  # noqa: E731
         lead + (TILE_H, TILE_W),
-        (lambda ty, tx, _n=len(lead): (0,) * _n + (ty, tx)),
+        (lambda ty, tx, cb_, _n=len(lead): (0,) * _n + (ty, tx)),
+        memory_space=pltpu.VMEM)
+    ctile = pl.BlockSpec(
+        (cblk, TILE_H, TILE_W),
+        (lambda ty, tx, cb_: (cb_, ty, tx)),
         memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            tile2(C), tile2(C), tile2(C),          # s0, sx, sy
+            ctile, ctile, ctile,                   # s0, sx, sy
             tile2(O), tile2(O),                    # weights, ref_centered
             tile2(), tile2(), tile2(), tile2(),    # meanr, varr, invw, cen
             pl.BlockSpec(memory_space=pl.ANY),     # volume (HBM)
         ],
-        out_specs=tile2(C),
+        out_specs=ctile,
         out_shape=jax.ShapeDtypeStruct(
-            (C, tiles_h * TILE_H, tiles_w * TILE_W), jnp.float32),
+            (C_pad, tiles_h * TILE_H, tiles_w * TILE_W), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((KS, TILE_H + 2 * HALO_Y, TILE_W + 2 * HALO_X),
-                       jnp.bfloat16),               # volbuf
-            pltpu.VMEM((O, TILE_H, TILE_W), jnp.float32),   # k0buf
-            pltpu.VMEM((2 * O, TILE_H, TILE_W), jnp.float32),  # fbuf+partial
-            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),      # acc_s
-            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),      # acc_ss
-            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),      # acc_rs
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((cblk * O, TILE_H, TILE_W), jnp.float32),   # tbuf
+            pltpu.VMEM((cblk * O, TILE_H, TILE_W), jnp.float32),   # xbuf
+            pltpu.VMEM((2, KS, TILE_H + 2 * HALO_Y,
+                        TILE_W + 2 * HALO_X), jnp.bfloat16),       # slab
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_interpret(),
     )(s0p, sxp, syp, w_p, rc_p, meanr, varr, invw, cen, vol_padded)
 
-    out = out[:, :Hc, :Wc]
+    out = out[:C, :Hc, :Wc]
     return out[0] if squeeze else out
 
 

@@ -52,6 +52,24 @@ class Scene:
     depth_min: float
     depth_max: float
     pair: scene_io.PairFile
+    # (V, 3, H, W) float32 RGB, lazily loaded for -color_processing
+    # (the reference loads img_color only then too, main.cpp:1303-1306).
+    images_color: np.ndarray | None = None
+    images_dir: Path | None = None
+
+    def load_color(self) -> np.ndarray:
+        if self.images_color is None:
+            self.images_color = np.stack(
+                [_read_rgb(self._image_path(n)) for n in self.names])
+        return self.images_color
+
+    def _image_path(self, name: str) -> Path:
+        img_dir = self.images_dir or self.root / "images"
+        for ext in (".png", ".pfm", ".jpg", ".jpeg", ".JPG"):
+            p = img_dir / f"{name}{ext}"
+            if p.exists():
+                return p
+        raise FileNotFoundError(name)
 
 
 def load_scene(root: str | Path, images_folder: str | Path | None = None,
@@ -105,7 +123,8 @@ def load_scene(root: str | Path, images_folder: str | Path | None = None,
             else scene_io.PairFile())
     return Scene(root=root, names=names, images=np.stack(images),
                  P=np.stack(P_list), depth_min=float(depth_min),
-                 depth_max=float(depth_max), pair=pair)
+                 depth_max=float(depth_max), pair=pair,
+                 images_dir=img_dir)
 
 
 def _read_gray(path: Path) -> np.ndarray:
@@ -120,6 +139,21 @@ def _read_gray(path: Path) -> np.ndarray:
         return np.asarray(read_png_gray(path), np.float32)
     from PIL import Image
     return np.asarray(Image.open(path).convert("L"), np.float32)
+
+
+def _read_rgb(path: Path) -> np.ndarray:
+    """(3, H, W) float32 RGB (IMREAD_COLOR analogue, main.cpp:1305;
+    grayscale sources broadcast to three equal channels)."""
+    if path.suffix == ".pfm":
+        img = np.asarray(read_pfm(path), np.float32)
+        if img.ndim == 2:
+            img = np.repeat(img[None], 3, axis=0)
+        else:
+            img = img.transpose(2, 0, 1)[:3]
+        return img
+    from PIL import Image
+    arr = np.asarray(Image.open(path).convert("RGB"), np.float32)
+    return arr.transpose(2, 0, 1)
 
 
 def view_image_order(scene: Scene, ref_idx: int, max_views: int,
@@ -273,11 +307,16 @@ def process_view(scene: Scene, ref_idx: int,
         iters = params.iterations if pm_iterations is None else pm_iterations
         H = imgs.shape[1]
         levels = (4, 2, 1) if H >= 1024 else (2, 1)
+        imgs_color = None
+        if params.color_processing:
+            imgs_color = jnp.asarray(scene.load_color()[order],
+                                     jnp.float32)
         state = pm.run_patchmatch_pyramid(
             key, imgs_j, view_ids, [scene.P[i] for i in order], params,
             levels=levels,
             iterations_per_level=tuple([iters] * len(levels)),
-            depth_min=scene.depth_min, depth_max=scene.depth_max)
+            depth_min=scene.depth_min, depth_max=scene.depth_max,
+            imgs_color=imgs_color)
 
     result = tsar.tsar_refine(imgs, cams, view_ids, params, state, weak,
                               reliable_seed, jax.random.fold_in(key, 999))
@@ -310,8 +349,10 @@ def process_view(scene: Scene, ref_idx: int,
         cams_world = geo.build_camera_set([scene.P[i] for i in order],
                                           cam_scale=params.cam_scale,
                                           rebase=False)
+        rgb = (scene.load_color()[ref_idx] if params.color_processing
+               else None)
         write_view_ply(out_dir / "TSAR_model.ply", result,
-                       scene.images[ref_idx], cams_world)
+                       scene.images[ref_idx], cams_world, rgb=rgb)
     if write_vis:
         # Debug/display artifacts (main.cpp:1800-1817 normal PNG with
         # sphere legend + disparity PNG; writeParametersToFile).
@@ -348,10 +389,12 @@ def _stats_stub(rays):
 
 
 def write_view_ply(path: Path, result: tsar.TsarResult, gray: np.ndarray,
-                   cams_world: geo.CameraSet) -> None:
+                   cams_world: geo.CameraSet,
+                   rgb: np.ndarray | None = None) -> None:
     """Per-view point cloud in the world frame (storePlyFileBinary
     contract, displayUtils.h:78-159; every pixel emits a vertex, invalid
-    depths become the origin)."""
+    depths become the origin). rgb (3, H, W): true point colors
+    (-color_processing; the reference's ply stores grayscale)."""
     H, W = result.depth.shape
     xx, yy = np.meshgrid(np.arange(W, dtype=np.float32),
                          np.arange(H, dtype=np.float32))
@@ -360,9 +403,13 @@ def write_view_ply(path: Path, result: tsar.TsarResult, gray: np.ndarray,
                                    jnp.asarray(result.depth)))
     bad = ~np.isfinite(X).all(axis=-1) | (result.depth <= 0)[..., None][..., 0]
     X = np.where(bad[..., None], 0.0, X)
+    if rgb is not None:
+        colors = np.clip(rgb, 0, 255).astype(np.uint8)
+        colors = colors.transpose(1, 2, 0).reshape(-1, 3)
+    else:
+        colors = np.clip(gray, 0, 255).astype(np.uint8).reshape(-1)
     ply.write_ply(path, X.reshape(-1, 3),
-                  result.normal_world.reshape(-1, 3),
-                  np.clip(gray, 0, 255).astype(np.uint8).reshape(-1))
+                  result.normal_world.reshape(-1, 3), colors)
 
 
 def process_scene(scene_root: str | Path,
