@@ -131,13 +131,41 @@ def main() -> int:
 
     t1 = results[0][1]
     tn = results[-1][1]
-    eff = t1 / tn  # ideal == 1.0 in both modes (see `mode` above)
-    print(json.dumps({
+    n_ratio = results[-1][0] / results[0][0]
+    spoofed = (jax.devices()[0].platform == "cpu"
+               and os.environ.get("TSAR_SCALE_CPU") == "1")
+    if mode == "strong" and not spoofed:
+        # Real devices at fixed total work: ideal is t(n) = t(1)/n, so
+        # efficiency normalizes the speedup by the device ratio (on the
+        # spoofed single-socket mesh ideal is flat wall-clock instead —
+        # every "device" shares one socket's cores).
+        speedup = t1 / tn
+        eff = speedup / n_ratio
+        print(json.dumps({
+            "metric": "strong_scaling_speedup",
+            "value": round(speedup, 3),
+            "unit": f"t(1dev)/t({results[-1][0]}dev) @{H}x{W}",
+        }))
+        print(json.dumps({
+            "metric": "strong_scaling_efficiency",
+            "value": round(eff, 3),
+            "unit": f"t(1)/(n*t(n)), n={results[-1][0]} @{H}x{W}",
+            "vs_baseline": round(eff / 0.85, 3),
+        }))
+        return 0
+    eff = t1 / tn  # ideal == 1.0: flat wall-clock (see `mode` above)
+    out = {
         "metric": f"{mode}_scaling_efficiency",
         "value": round(eff, 3),
         "unit": f"t(1dev)/t({results[-1][0]}dev) @{H}x{W}",
         "vs_baseline": round(eff / 0.85, 3),
-    }))
+    }
+    if mode == "strong" and spoofed:
+        # Flag: the 0.85 weak-scaling bar only meaningfully applies to
+        # the flat-wall-clock ideal of the spoofed mesh.
+        out["note"] = ("spoofed CPU mesh: fixed total work, ideal flat "
+                       "wall-clock; measures sharding overhead only")
+    print(json.dumps(out))
     return 0
 
 

@@ -79,3 +79,52 @@ def test_patchmatch_converges_on_synthetic_scene(scene):
     assert np.median(rel_err[interior]) < 0.005
     # Costs should be low where converged.
     assert np.median(np.asarray(state.cost)[interior]) < 0.2
+
+
+@pytest.mark.slow
+def test_blocked_refinement_accuracy_parity(scene):
+    """Tile-blocked coarse refinement draws (config.refine_block_frac,
+    the Pallas-kernel bracket-narrowing scheme) must not cost converged
+    accuracy vs pure per-pixel draws: the per-pixel marginal is uniform
+    either way, only intra-tile correlation differs (ADVICE r3)."""
+    import dataclasses
+    cams = geo.build_camera_set(list(scene.P), depth_min=scene.depth_min,
+                                depth_max=scene.depth_max)
+    params = AlgorithmParams(iterations=4).with_depth_range(
+        scene.depth_min, scene.depth_max, float(cams.f))
+    imgs = jnp.asarray(scene.images, jnp.float32)
+    gt = scene.depth[0]
+    ok = np.isfinite(gt) & ~scene.weak_mask[0]
+    interior = np.zeros_like(ok)
+    interior[8:-8, 8:-8] = ok[8:-8, 8:-8]
+
+    med = {}
+    for blocked in (False, True):
+        p = (params if blocked
+             else dataclasses.replace(params, refine_block_frac=0.0))
+        state = pm._run_patchmatch_jit(
+            jax.random.PRNGKey(0), imgs, (1, 2, 3, 4), cams, p,
+            iterations=4, svol_planes=None, use_pallas=False)
+        # Re-run the step loop with the blocked flag forced on the
+        # direct path (run_patchmatch only engages it on the kernel
+        # path; the draw scheme itself is sampler-independent).
+        stats = ncc.precompute_ref_stats(imgs[0], cams, p)
+
+        def eval_view_cost(normal, d, st, coords, parity=None):
+            return ncc.multiview_cost(imgs, (1, 2, 3, 4), cams, normal,
+                                      d, st, p, coords=coords)
+
+        cost_fn, pctx = pm._make_cost_and_ctx(stats, cams, *imgs.shape[1:],
+                                              eval_view_cost)
+        init = pm.random_init_with(jax.random.PRNGKey(1), imgs.shape[1:],
+                                   cams, stats.rays, cost_fn, p)
+        step = pm.make_patchmatch_step(cost_fn, stats.rays, cams, p,
+                                       pctx=pctx, blocked_refine=blocked)
+        state, _ = jax.lax.fori_loop(0, 4, step,
+                                     (init, jax.random.PRNGKey(2)))
+        depth = np.asarray(pm.depth_map(state, cams))
+        rel = np.abs(depth - gt) / gt
+        med[blocked] = float(np.median(rel[interior]))
+    # Blocked draws must stay within 2x the per-pixel baseline's median
+    # error (both well-converged on the synthetic scene).
+    assert med[True] < max(2.0 * med[False], 0.01), med

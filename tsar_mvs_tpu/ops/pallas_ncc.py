@@ -73,15 +73,19 @@ def _interpret() -> bool:
 
 
 def pad_parity_volume(vol_dense: jnp.ndarray, parity: int,
-                      tiles_h: int, tiles_w: int) -> jnp.ndarray:
+                      tiles_h: int, tiles_w: int,
+                      s_pad_to: int | None = None) -> jnp.ndarray:
     """Edge-pad a dense (S, H, W) volume by the window halo (in DENSE
     space, so halo samples equal dense edge clamping — see HALO_DENSE
     note) plus tile rounding, then parity-compress: output (S_pad, Hp,
     Wp) with Hp = tiles_h*TILE_H + 2*HALO_Y, Wp = tiles_w*TILE_W +
-    2*HALO_X and S_pad the next multiple of KS (edge planes replicated).
+    2*HALO_X and S_pad the next multiple of KS (edge planes replicated;
+    `s_pad_to` raises it further so every view shares one kernel shape).
     """
     S, H, W = vol_dense.shape
     pad_s = (-S) % KS
+    if s_pad_to is not None:
+        pad_s = max(pad_s, s_pad_to - S)
     pad_h = tiles_h * TILE_H - H
     pad_w = 2 * (tiles_w * TILE_W - W // 2)
     padded = jnp.pad(vol_dense,
@@ -93,12 +97,15 @@ def pad_parity_volume(vol_dense: jnp.ndarray, parity: int,
     return cb.parity_compress(padded, parity)
 
 
-def _svol_ncc_kernel(offsets, S_real: int, s_lo: float, inv_ds: float,
-                     parity: int, cost_max: float, min_var: float,
+def _svol_ncc_kernel(offsets, cost_max: float, min_var: float,
                      cblk: int,
-                     # refs
-                     s0_ref, sx_ref, sy_ref, w_ref, rc_ref, meanr_ref,
-                     varr_ref, invw_ref, center_ref, vol_ref, out_ref,
+                     # refs (scal_ref: SMEM [S_real, parity, s_lo,
+                     # inv_ds] — scalars instead of baked constants so
+                     # one Mosaic kernel serves every (view, parity,
+                     # s-range) at a given shape)
+                     scal_ref, s0_ref, sx_ref, sy_ref, w_ref, rc_ref,
+                     meanr_ref, varr_ref, invw_ref, center_ref, vol_ref,
+                     out_ref,
                      # scratch
                      tbuf, xbuf, slab, sems):
     # Pixels with var_ref < min_var are forced to cost_max by the final
@@ -111,7 +118,11 @@ def _svol_ncc_kernel(offsets, S_real: int, s_lo: float, inv_ds: float,
     tx = pl.program_id(1)
     y0 = ty * TILE_H
     x0 = tx * TILE_W
-    S1 = float(S_real - 1)
+    S_real = scal_ref[0].astype(jnp.int32)
+    parity = scal_ref[1].astype(jnp.int32)
+    s_lo = scal_ref[2]
+    inv_ds = scal_ref[3]
+    S1 = (S_real - 1).astype(jnp.float32)
     hrad = max(abs(i) for i, _ in offsets)
     vrad = max(abs(j) for _, j in offsets)
 
@@ -144,7 +155,9 @@ def _svol_ncc_kernel(offsets, S_real: int, s_lo: float, inv_ds: float,
     # Hat accumulation needs k in [floor(t), floor(t)+1] for every t in
     # the bracket (floor(min(t, S-2)) + 1 at the top edge).
     k_lo = tmin.astype(jnp.int32)
-    k_hi = jnp.minimum(tmax, float(max(S_real - 2, 0))).astype(jnp.int32) + 1
+    k_hi = jnp.minimum(
+        tmax, jnp.maximum(S_real - 2, 0).astype(jnp.float32)
+    ).astype(jnp.int32) + 1
     n_win = jnp.maximum(0, k_hi - k_lo + KS) // KS   # cdiv(k_hi-k_lo+1, KS)
     S_pad = vol_ref.shape[0]
 
@@ -175,6 +188,8 @@ def _svol_ncc_kernel(offsets, S_real: int, s_lo: float, inv_ds: float,
                        pl.ds(x0, TILE_W + 2 * HALO_X)],
             slab.at[slot], sems.at[slot]).wait()
 
+        cen = center_ref[...]
+
         def plane_body(m, _):
             k = base + m
 
@@ -187,7 +202,13 @@ def _svol_ncc_kernel(offsets, S_real: int, s_lo: float, inv_ds: float,
                               dxa:dxa + TILE_W].astype(jnp.float32)
                     pb = slab[slot, m, HALO_Y + j:HALO_Y + j + TILE_H,
                               dxa + 1:dxa + 1 + TILE_W].astype(jnp.float32)
-                    plane = jnp.where(rowp == 1, pb, pa)
+                    # Accumulate CENTERED samples (plane - cen): raw
+                    # accumulation pushes ~|I| * eps_f32 noise into every
+                    # moment; the rsqrt(var) in NCC amplifies it and the
+                    # engine's argmin then systematically favors the
+                    # downward-noise evaluations (measured as a 3-point
+                    # acc<2% loss at 672x1024 before this fix).
+                    plane = jnp.where(rowp == 1, pb, pa) - cen
                     for c in range(cblk):
                         # Linear interpolation as a hat-function sum:
                         # weights (1-f, f) land at k0, k0+1 across two
@@ -203,8 +224,7 @@ def _svol_ncc_kernel(offsets, S_real: int, s_lo: float, inv_ds: float,
     jax.lax.fori_loop(0, n_win, win_body, 0)
 
     # Epilogue: finish NCC from the completed samples (same algebra as
-    # ncc.pm_cost_ab; samples centered on the window-center intensity).
-    cen = center_ref[...]
+    # ncc.pm_cost_ab; samples were accumulated pre-centered).
     invw = invw_ref[...]
     mean_ref_v = meanr_ref[...]
     var_ref_v = varr_ref[...]
@@ -213,7 +233,7 @@ def _svol_ncc_kernel(offsets, S_real: int, s_lo: float, inv_ds: float,
         acc_ss = jnp.zeros((TILE_H, TILE_W), jnp.float32)
         acc_rs = jnp.zeros((TILE_H, TILE_W), jnp.float32)
         for o in range(O):
-            xc = xbuf[c * O + o] - cen
+            xc = xbuf[c * O + o]
             w = w_ref[o].astype(jnp.float32)
             ws = w * xc
             acc_s = acc_s + ws
@@ -275,9 +295,11 @@ def svolume_cost_pallas(vol_padded: jnp.ndarray, S_real: int,
     cen = pad_hw(stats.center)
 
     kernel = functools.partial(
-        _svol_ncc_kernel, tuple(offsets), S_real, float(s_lo),
-        float(inv_ds), parity, float(params.cost_max),
+        _svol_ncc_kernel, tuple(offsets), float(params.cost_max),
         float(params.min_var), cblk)
+    # Scalars ride in SMEM so the Mosaic kernel is shared across views,
+    # parities and s-ranges (S_real <= max_planes = 1024 is exact f32).
+    scal = jnp.asarray([S_real, parity, s_lo, inv_ds], jnp.float32)
 
     grid = (tiles_h, tiles_w, n_cblk)
     tile2 = lambda *lead: pl.BlockSpec(  # noqa: E731
@@ -293,6 +315,8 @@ def svolume_cost_pallas(vol_padded: jnp.ndarray, S_real: int,
         kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec((4,), (lambda ty, tx, cb_: (0,)),
+                         memory_space=pltpu.SMEM),  # scalars
             ctile, ctile, ctile,                   # s0, sx, sy
             tile2(O), tile2(O),                    # weights, ref_centered
             tile2(), tile2(), tile2(), tile2(),    # meanr, varr, invw, cen
@@ -309,7 +333,7 @@ def svolume_cost_pallas(vol_padded: jnp.ndarray, S_real: int,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=_interpret(),
-    )(s0p, sxp, syp, w_p, rc_p, meanr, varr, invw, cen, vol_padded)
+    )(scal, s0p, sxp, syp, w_p, rc_p, meanr, varr, invw, cen, vol_padded)
 
     out = out[:C, :Hc, :Wc]
     return out[0] if squeeze else out
@@ -322,7 +346,10 @@ def prepare_parity_volumes(vol_data, Hc: int, Wc: int):
     (init) evaluations split/expand through the parity path."""
     tiles_h = -(-Hc // TILE_H)
     tiles_w = -(-(Wc // 2) // TILE_W)
-    return {p: tuple(pad_parity_volume(v, p, tiles_h, tiles_w)
+    # Common plane padding: every view's volume shares one (S_pad, Hp,
+    # Wp) shape, so Mosaic compiles a single kernel for all views.
+    s_pad = max(v.shape[0] + (-v.shape[0]) % KS for v in vol_data)
+    return {p: tuple(pad_parity_volume(v, p, tiles_h, tiles_w, s_pad)
                      for v in vol_data)
             for p in (0, 1)}
 
