@@ -208,6 +208,13 @@ def main() -> int:
         print(f"# profile trace written to {profile_dir}",
               file=sys.stderr)
 
+    if os.environ.get("TSAR_BENCH_DIAG") == "1":
+        diag: dict = {}
+        out = one_view(jax.random.PRNGKey(repeats), diag=diag)
+        _print_stage_attribution(out, diag, scene, cams, H, W,
+                                 tuple(view_ids))
+        return 0
+
     times = []
     stages_best: dict[str, float] = {}
     for r in range(repeats):
@@ -220,13 +227,6 @@ def main() -> int:
             stages_best = stages
     per_view = min(times)
     dm_per_s = 1.0 / per_view
-
-    if os.environ.get("TSAR_BENCH_DIAG") == "1":
-        diag: dict = {}
-        out = one_view(jax.random.PRNGKey(repeats), diag=diag)
-        _print_stage_attribution(out, diag, scene, cams, H, W,
-                                 tuple(view_ids))
-        return 0
 
     # Accuracy: raw PatchMatch depth and pipeline-final depth vs GT on
     # textured pixels; final also restricted to surviving (reliable)

@@ -1,0 +1,201 @@
+#!/usr/bin/env python
+"""Full-pipeline validation on a full-resolution synthetic scene.
+
+No real ETH3D/Middlebury data exists in this environment (zero egress),
+so this is the committed quality proxy for the north star ("output
+should match the middlebury benchmark submission",
+/root/reference/README.md:71; BASELINE.json F1@2cm): a >=1344x2048
+synthetic scene runs end-to-end — process_scene (PatchMatch + TSAR
+refinement per view) then fuse_scene — and the fused cloud scores
+against the GT cloud with the ETH3D F-score protocol (eval.py).
+Writes RESULTS.md at the repo root.
+
+Usage: python scripts/validate_synthetic.py [--height 1344 --width 2048
+       --views 8 --root /tmp/tsar_validate] (re-runs resume per view)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def gt_cloud(scene, stride: int = 4):
+    """GT point cloud: backproject every view's GT depth (strided)."""
+    import numpy as np
+    V, H, W = scene.depth.shape
+    Kinv = np.linalg.inv(scene.K)
+    pts = []
+    for v in range(V):
+        d = scene.depth[v][::stride, ::stride]
+        ok = np.isfinite(d)
+        yy, xx = np.nonzero(ok)
+        z = d[yy, xx]
+        p = np.stack([xx * stride, yy * stride, np.ones_like(xx)], 0)
+        cam = (Kinv @ p) * z
+        world = scene.R[v].T @ (cam - scene.t[v][:, None])
+        pts.append(world.T)
+    return np.concatenate(pts)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--height", type=int, default=1344)
+    ap.add_argument("--width", type=int, default=2048)
+    ap.add_argument("--views", type=int, default=8)
+    ap.add_argument("--root", default="/tmp/tsar_validate")
+    ap.add_argument("--iterations", type=int, default=8)
+    ap.add_argument("--max_views", type=int, default=7)
+    ap.add_argument("--out", default=str(REPO / "RESULTS.md"))
+    ns = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/tsar_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    import numpy as np
+
+    from tsar_mvs_tpu import eval as ev
+    from tsar_mvs_tpu import pipeline
+    from tsar_mvs_tpu.config import AlgorithmParams, FusionParams
+    from tsar_mvs_tpu.utils import dmb, ply
+    from tsar_mvs_tpu.utils.synthetic import make_scene, source_coverage
+
+    t_all = time.time()
+    scene_gt = make_scene(height=ns.height, width=ns.width,
+                          num_views=ns.views, seed=0)
+    root = Path(ns.root)
+    if not (root / "pair.txt").exists():
+        scene_gt.export(root)
+        print(f"# scene exported to {root}", file=sys.stderr)
+
+    params = AlgorithmParams(iterations=ns.iterations,
+                             max_views=ns.max_views)
+
+    view_times = []
+    scene = pipeline.load_scene(root)
+    for ref in range(ns.views):
+        name = scene.names[ref]
+        done = root / "results" / name / "TSAR_disp.dmb"
+        if done.exists():
+            view_times.append(None)
+            print(f"# view {ref}: resume (exists)", file=sys.stderr)
+            continue
+        t0 = time.time()
+        pipeline.process_view(scene, ref, params,
+                              key=jax.random.PRNGKey(ref))
+        view_times.append(time.time() - t0)
+        print(f"# view {ref}: {view_times[-1]:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    fused = pipeline.fuse_scene(root, FusionParams())
+    fuse_s = time.time() - t0
+    pts, _, _ = ply.read_ply(fused)
+    pts = pts[np.isfinite(pts).all(1) & (np.abs(pts) > 1e-9).any(1)]
+
+    gt_pts = gt_cloud(scene_gt)
+    fs = ev.point_cloud_fscore(pts, gt_pts, threshold=0.02)
+
+    # Per-view depth metrics vs GT (final outputs).
+    rows = []
+    for ref in range(ns.views):
+        name = scene.names[ref]
+        depth = dmb.read_dmb(root / "results" / name / "TSAR_disp.dmb")
+        gt = scene_gt.depth[ref]
+        ok = np.isfinite(gt)
+        weak = scene_gt.weak_mask[ref]
+        cover = source_coverage(scene_gt, ref=ref,
+                                src_views=tuple(j for j in range(ns.views)
+                                                if j != ref))
+        matchable = ok & ~weak & (cover >= 1)
+        rel = np.abs(depth - gt) / np.where(ok, gt, 1.0)
+        valid = depth > 0
+
+        def acc(sel):
+            s = sel & valid
+            return float((rel[s] < 0.02).mean()) if s.any() else 0.0
+
+        rows.append({
+            "view": ref,
+            "acc2_textured": round(acc(matchable), 4),
+            "acc2_weak": round(acc(ok & weak), 4),
+            "weak_med_rel": round(float(np.median(
+                rel[ok & weak & valid])), 4) if (ok & weak & valid).any()
+            else None,
+            "completeness": round(float(valid[ok].mean()), 4),
+            "time_s": (round(view_times[ref], 1)
+                       if view_times[ref] else None),
+        })
+
+    total_s = time.time() - t_all
+    out = {
+        "point": f"{ns.height}x{ns.width}x{ns.iterations}it/"
+                 f"{min(ns.max_views, ns.views - 1)}src",
+        "fscore@2cm": round(fs.f1, 4),
+        "precision": round(fs.precision, 4),
+        "recall": round(fs.recall, 4),
+        "fuse_s": round(fuse_s, 1),
+        "views": rows,
+    }
+    print(json.dumps(out))
+
+    timed = [r for r in rows if r["time_s"]]
+    lines = [
+        "# RESULTS — full-pipeline validation on the synthetic proxy",
+        "",
+        "No real ETH3D/Middlebury data is reachable from this "
+        "environment (zero egress), so the committed quality number is "
+        "the full-resolution synthetic proxy below: `process_scene` + "
+        "`fuse_scene` end-to-end, fused cloud scored against the GT "
+        "cloud with the ETH3D F-score protocol "
+        "(`eval.point_cloud_fscore`). Regenerate with "
+        "`python scripts/validate_synthetic.py`.",
+        "",
+        f"Operating point: **{out['point']}** "
+        f"(reference scripts' full point: "
+        f"scripts/courtyard.sh:11-15 — 2K ETH3D, 8 iterations).",
+        "",
+        "## Fused point cloud vs GT",
+        "",
+        "| metric | value |",
+        "|---|---|",
+        f"| F-score @ 2 cm | **{out['fscore@2cm']}** |",
+        f"| precision @ 2 cm | {out['precision']} |",
+        f"| recall @ 2 cm | {out['recall']} |",
+        f"| fusion wall-clock | {out['fuse_s']} s |",
+        "",
+        "## Per-view depth quality (final TSAR output vs GT)",
+        "",
+        "acc<2% = fraction of valid pixels within 2% relative depth "
+        "error; `weak` = inside the scene's textureless regions (the "
+        "pixels TSAR exists to fix); completeness = valid/GT pixels.",
+        "",
+        "| view | acc<2% textured | acc<2% weak | weak median rel err "
+        "| completeness | time (s) |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(f"| {r['view']} | {r['acc2_textured']} | "
+                     f"{r['acc2_weak']} | {r['weak_med_rel']} | "
+                     f"{r['completeness']} | {r['time_s']} |")
+    if timed:
+        mean_t = sum(r["time_s"] for r in timed) / len(timed)
+        lines += ["",
+                  f"Mean per-view wall-clock (timed views): "
+                  f"**{mean_t:.1f} s** (reference: ~20 s/view on a "
+                  f"GTX 980 at 2K x 7 src, README.md:37-41).",
+                  "",
+                  f"Total run: {total_s / 60:.1f} min "
+                  f"(resume-aware; completed views skip)."]
+    Path(ns.out).write_text("\n".join(lines) + "\n")
+    print(f"# wrote {ns.out}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

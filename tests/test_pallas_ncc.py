@@ -208,3 +208,32 @@ def test_pallas_narrow_bracket_converged_field(setup):
         sharp = np.minimum(c_ref, c_pal) < 0.99
         assert sharp.mean() > 0.5
         _assert_cost_agreement(delta, sharp)
+
+
+def test_invalid_candidate_does_not_poison_block(setup):
+    """Border banks pad invalid candidates with d = 0 (checkerboard.
+    select_candidates) -> inf/NaN plane scalars. In a CBLK candidate
+    block, one NaN pixel must not poison the co-resident candidate's
+    bracket: its costs must equal its solo evaluation. (This was a real
+    3-point acc<2% regression: the NaN emptied the whole tile's walk
+    for BOTH candidates of the pair.)"""
+    scene, cams, params, view_ids, stats, vol, counts, s_lo, vols_p = setup
+    parity = 0
+    n, d = _plane_field(jax.random.PRNGKey(12), cams, scene, (H, W))
+    stats_p = ncc.compress_stats(stats, parity)
+    n_p = cb.parity_compress_vec(n, parity)
+    d_p = cb.parity_compress(d, parity)
+    ids = jnp.asarray(view_ids, jnp.int32)
+    valid = jnp.ones((len(view_ids),), bool)
+
+    solo = pn.multiview_cost_pallas(vols_p[parity], counts, s_lo,
+                                    vol.inv_ds, ids, valid, n_p[None],
+                                    d_p[None], stats_p, params, parity)
+    # Pair with an all-invalid candidate (d = 0 like the bank padding).
+    n2 = jnp.stack([n_p, n_p])
+    d2 = jnp.stack([d_p, jnp.zeros_like(d_p)])
+    paired = pn.multiview_cost_pallas(vols_p[parity], counts, s_lo,
+                                      vol.inv_ds, ids, valid, n2, d2,
+                                      stats_p, params, parity)
+    np.testing.assert_allclose(np.asarray(paired.cost[0]),
+                               np.asarray(solo.cost[0]), atol=1e-5)

@@ -128,3 +128,29 @@ def test_blocked_refinement_accuracy_parity(scene):
     # Blocked draws must stay within 2x the per-pixel baseline's median
     # error (both well-converged on the synthetic scene).
     assert med[True] < max(2.0 * med[False], 0.01), med
+
+
+def test_viewscan_branch_matches_default(scene, monkeypatch):
+    """The large-image viewscan branch (one view's working set live at a
+    time; VIEWSCAN_MIN_PIXELS) computes the same result as the unrolled
+    direct path — forced at small size by lowering the threshold."""
+    import dataclasses
+    cams = geo.build_camera_set(list(scene.P), depth_min=scene.depth_min,
+                                depth_max=scene.depth_max)
+    params = dataclasses.replace(
+        AlgorithmParams(iterations=2),
+        ncc_impl="direct").with_depth_range(
+        scene.depth_min, scene.depth_max, float(cams.f))
+    imgs = jnp.asarray(scene.images, jnp.float32)
+
+    state_unrolled = pm.run_patchmatch(jax.random.PRNGKey(5), imgs,
+                                       (1, 2, 3), cams, params)
+    monkeypatch.setattr(pm, "VIEWSCAN_MIN_PIXELS", 1)
+    state_scan = pm.run_patchmatch(jax.random.PRNGKey(5), imgs,
+                                   (1, 2, 3), cams, params)
+    # Same RNG stream + same cost values => identical accept decisions.
+    np.testing.assert_allclose(np.asarray(state_scan.d),
+                               np.asarray(state_unrolled.d), rtol=1e-5,
+                               atol=1e-5)
+    assert (np.asarray(state_scan.best_view)
+            == np.asarray(state_unrolled.best_view)).mean() > 0.999

@@ -67,3 +67,51 @@ def test_tsar_repairs_textureless_region(scene):
     assert result.normal_world.shape == gt.shape + (3,)
     nrm = np.linalg.norm(result.normal_cam, axis=-1)
     np.testing.assert_allclose(nrm[np.isfinite(nrm)], 1.0, atol=1e-3)
+
+
+def test_border_check_vetoes_bad_region_plane(scene):
+    """fake_depth_stage + border_consistency_check (gipuma.cu:1852-1877,
+    main.cpp:1735-1780): a region plane far off the surrounding depth
+    produces a large border jump; a GT-consistent plane a small one."""
+    cams = geo.build_camera_set(list(scene.P), depth_min=scene.depth_min,
+                                depth_max=scene.depth_max)
+    params = AlgorithmParams(
+        weak_text_num=25, hough_thr=12, min_line_length=12,
+        max_line_gap=3).with_depth_range(
+        scene.depth_min, scene.depth_max, float(cams.f))
+    weak = wt.detect_weak_texture(scene.images[0], params, pyr_levels=1)
+    regions = np.nonzero(weak.text == -1)[0]
+    assert regions.size > 0
+    region = int(regions[np.argmax(weak.size[regions])])
+
+    gt = scene.depth[0]
+    disp = np.asarray(geo.disparity_depth(
+        float(cams.f), float(cams.baseline),
+        jnp.asarray(np.where(np.isfinite(gt), gt, scene.depth_max))))
+    labels = jnp.asarray(weak.labels_full)
+    weak_region = jnp.asarray(weak.text == -1)
+
+    # GT-consistent plane for the region: fit to backprojected GT points.
+    rays = np.asarray(geo.pixel_rays(cams, *gt.shape))
+    m = (weak.labels_full == region) & np.isfinite(gt)
+    pts = gt[m][:, None] * rays[m]
+    cen = pts.mean(0)
+    _, _, vt = np.linalg.svd(pts - cen, full_matrices=False)
+    n = vt[2] / np.linalg.norm(vt[2])
+    good = np.zeros((weak.num_regions, 4), np.float32)
+    good[region, :3] = n
+    good[region, 3] = -float(n @ cen)
+    # Off-surface plane: same normal, offset shifted 20% closer.
+    bad = good.copy()
+    bad[region, 3] *= 0.8
+
+    jumps = {}
+    for name, planes in (("good", good), ("bad", bad)):
+        fake = np.asarray(tsar.fake_depth_stage(
+            cams, jnp.asarray(planes), labels, weak_region, params))
+        jump = tsar.border_consistency_check(weak, fake, disp, cams)
+        jumps[name] = float(jump[region])
+    assert jumps["bad"] > 5.0 * max(jumps["good"], 1e-6), jumps
+    thr = params.border_check_thr * params.depth_min
+    assert jumps["bad"] > thr
+    assert jumps["good"] < thr, jumps

@@ -103,6 +103,14 @@ class AlgorithmParams:
     wmf_drift_thr: float = 24.0
     # Confidence / LR check.
     lr_diff_clamp: float = 1.0
+    # Region border-consistency veto (main.cpp:1735-1780): measure each
+    # filled region's mean |depth jump| across its border (fed by
+    # fakecuda's fake-depth map, gipuma.cu:1852-1877) and drop region
+    # planes whose jump exceeds border_check_thr * depth_min. The
+    # reference computes fakedepth but keeps the veto behind `if (false)`
+    # — default False matches that; the threshold is ours (opt-in).
+    border_check: bool = False
+    border_check_thr: float = 0.1
     # Color (float4-equivalent) matching (-color_processing,
     # main.cpp:766,909): 3-channel bilateral NCC on the direct sampler
     # (ops/ncc_color.py documents the reference divergence — its own

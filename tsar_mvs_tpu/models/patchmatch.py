@@ -28,6 +28,13 @@ from tsar_mvs_tpu.ops import sampling
 from tsar_mvs_tpu.ops import svolume as sv
 
 
+# Pixel count above which the direct sampler scans the view axis (one
+# view's working set live at a time — unrolled views fault the TPU
+# worker at 2K x 7 sources). Module-level so tests can lower it to
+# exercise the branch at small sizes.
+VIEWSCAN_MIN_PIXELS = 1 << 20
+
+
 def resolve_ncc_impl(params: AlgorithmParams,
                      height: int | None = None,
                      width: int | None = None) -> str:
@@ -547,7 +554,7 @@ def _run_patchmatch_jit(key: jax.Array, imgs: jnp.ndarray,
         packed = {v: sampling.pack_image(imgs[v], jnp.bfloat16)
                   for v in view_ids}
 
-        if H * W >= (1 << 20) and params.n_best == 1:
+        if H * W >= VIEWSCAN_MIN_PIXELS and params.n_best == 1:
             # Large images: scan the view axis so one view's working set
             # is live at a time (unrolled views fault the TPU worker at
             # 2K x 7 sources — HBM pressure).
@@ -720,7 +727,7 @@ def patchmatch_one_ref(key: jax.Array, imgs: jnp.ndarray,
     packed_src = tuple(sampling.pack_image(src_imgs[s], jnp.bfloat16)
                        for s in range(src_imgs.shape[0]))
 
-    if H * W >= (1 << 20) and params.n_best == 1:
+    if H * W >= VIEWSCAN_MIN_PIXELS and params.n_best == 1:
         packed_stack = jnp.stack([p.data for p in packed_src])
 
         def eval_view_cost(normal, d, st, coords, parity=None):

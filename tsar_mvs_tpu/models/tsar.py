@@ -294,6 +294,20 @@ def tsar_refine(imgs: np.ndarray, cams: geo.CameraSet,
 
     labels = jnp.asarray(weak.labels_full)
     weak_region = jnp.asarray(weak.text == -1)
+
+    if params.border_check:
+        # fakecuda -> border-consistency veto (gipuma.cu:1852-1877 +
+        # main.cpp:1735-1780; the reference computes fakedepth but the
+        # veto sits behind `if (false)` — opt-in here): drop region
+        # planes whose filled depth jumps more than
+        # border_check_thr * depth_min across the region border.
+        fake = np.asarray(fake_depth_stage(cams, jnp.asarray(region_planes),
+                                           labels, weak_region, params))
+        jump = border_consistency_check(weak, fake, np.asarray(disp), cams)
+        veto = jump > params.border_check_thr * params.depth_min
+        region_planes = np.where(veto[:, None], 0.0,
+                                 region_planes).astype(np.float32)
+
     planes_j = jnp.asarray(region_planes)
 
     state2, reliable2, disp2 = fill_stage(cams, state, planes_j, labels,

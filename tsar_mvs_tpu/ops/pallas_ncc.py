@@ -68,6 +68,12 @@ TILE_W = 128     # packed-tile cols (lane width)
 CBLK = 2         # candidates per grid step (shared DMA/slices)
 
 
+def _cblk() -> int:
+    """Candidate-block size (TSAR_PALLAS_CBLK overrides for tuning/
+    bisection: 1 = per-candidate brackets and walks, v1-like)."""
+    return int(os.environ.get("TSAR_PALLAS_CBLK", CBLK))
+
+
 def _interpret() -> bool:
     return os.environ.get("TSAR_PALLAS_INTERPRET") == "1"
 
@@ -145,8 +151,16 @@ def _svol_ncc_kernel(offsets, cost_max: float, min_var: float,
         reach = float(hrad) * jnp.abs(sxn) + float(vrad) * jnp.abs(syn)
         lo = jnp.clip(tc - reach, 0.0, S1)
         hi = jnp.clip(tc + reach, 0.0, S1)
-        tmin = jnp.minimum(tmin, jnp.min(jnp.where(textured, lo, S1)))
-        tmax = jnp.maximum(tmax, jnp.max(jnp.where(textured, hi, 0.0)))
+        # Invalid candidates (border banks pad d = 0, checkerboard.
+        # select_candidates) carry inf/NaN plane scalars; clip leaves
+        # NaN, and one NaN pixel would otherwise poison the whole
+        # block's bracket reduction — emptying the walk for every OTHER
+        # candidate and pixel in the tile (their costs are masked by
+        # cand_valid later, but the co-resident candidates' are not).
+        okl = textured & (lo == lo)
+        okh = textured & (hi == hi)
+        tmin = jnp.minimum(tmin, jnp.min(jnp.where(okl, lo, S1)))
+        tmax = jnp.maximum(tmax, jnp.max(jnp.where(okh, hi, 0.0)))
         for o, (i, j) in enumerate(offsets):
             tbuf[c * O + o] = jnp.clip(tc + float(i) * sxn
                                        + float(j) * syn, 0.0, S1)
@@ -268,7 +282,7 @@ def svolume_cost_pallas(vol_padded: jnp.ndarray, S_real: int,
     tiles_h = -(-Hc // TILE_H)
     tiles_w = -(-Wc // TILE_W)
     O = len(offsets)
-    cblk = min(CBLK, C)
+    cblk = min(_cblk(), C)
     n_cblk = -(-C // cblk)
     C_pad = n_cblk * cblk
 
