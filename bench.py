@@ -90,10 +90,8 @@ def main() -> int:
     import jax
     if small:
         jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("TSAR_JAX_CACHE",
-                                     "/tmp/tsar_jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from tsar_mvs_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache()
     import jax.numpy as jnp
     import numpy as np
 

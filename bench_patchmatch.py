@@ -31,10 +31,8 @@ def main() -> int:
     impls = os.environ.get("TSAR_AB_IMPLS", "direct,svolume,pallas").split(",")
 
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("TSAR_JAX_CACHE",
-                                     "/tmp/tsar_jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from tsar_mvs_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache()
     import jax.numpy as jnp
     import numpy as np
 

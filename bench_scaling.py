@@ -38,10 +38,8 @@ def main() -> int:
     distributed.initialize()
 
     import jax
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("TSAR_JAX_CACHE",
-                                     "/tmp/tsar_jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from tsar_mvs_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache()
     import jax.numpy as jnp
     import numpy as np
 

@@ -56,8 +56,8 @@ def main() -> int:
     ns = ap.parse_args()
 
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/tsar_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    from tsar_mvs_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache()
     import numpy as np
 
     from tsar_mvs_tpu import eval as ev

@@ -22,10 +22,11 @@ if not os.environ.get("TSAR_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the PatchMatch/WMF programs take minutes
-# of XLA compile each; caching makes suite re-runs compile-free.
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("TSAR_JAX_CACHE", "/tmp/tsar_jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+# of XLA compile each; caching makes suite re-runs compile-free. The
+# directory is machine-scoped (utils/cache.py): foreign-machine CPU AOT
+# entries SIGILL/segfault on load (the historical flaky worker crashes).
+from tsar_mvs_tpu.utils.cache import setup_compilation_cache  # noqa: E402
+setup_compilation_cache()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
