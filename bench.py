@@ -1,10 +1,11 @@
 #!/usr/bin/env python
 """Benchmark: depthmaps/sec/chip on an ETH3D-2K-scale synthetic scene.
 
-Runs the FULL per-view TSAR pipeline — weak-texture detection, SLIC,
-8-iteration checkerboard PatchMatch, confidence/LR check, coarse WMF
-outlier marking, region RANSAC, textureless fill, fine WMF hole filling,
-finalize — and prints ONE JSON line:
+Runs the FULL per-view TSAR pipeline at the reference scripts' full
+operating point (1344x2048, 7 source views, 8 iterations) — weak-texture
+detection, SLIC, checkerboard PatchMatch, confidence/LR check, coarse
+WMF outlier marking, region RANSAC, textureless fill, fine WMF hole
+filling, finalize — and prints ONE JSON line:
 
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
      "stages": {...}, "acc2_pm": ..., "acc2_final": ...}
@@ -80,9 +81,11 @@ def _print_stage_attribution(out, diag, scene, cams, H, W, view_ids):
 
 def main() -> int:
     small = os.environ.get("TSAR_BENCH_SMALL") == "1"
-    H = int(os.environ.get("TSAR_BENCH_H", 160 if small else 672))
-    W = int(os.environ.get("TSAR_BENCH_W", 224 if small else 1024))
-    V = int(os.environ.get("TSAR_BENCH_VIEWS", 4 if small else 4))
+    # Default = the reference scripts' FULL operating point: 2K ETH3D
+    # views with 7 source views (scripts/courtyard.sh:11-15,28-48).
+    H = int(os.environ.get("TSAR_BENCH_H", 160 if small else 1344))
+    W = int(os.environ.get("TSAR_BENCH_W", 224 if small else 2048))
+    V = int(os.environ.get("TSAR_BENCH_VIEWS", 4 if small else 8))
     iters = int(os.environ.get("TSAR_BENCH_ITERS", 2 if small else 8))
     repeats = int(os.environ.get("TSAR_BENCH_REPEATS", 2))
     ncc_impl = os.environ.get("TSAR_NCC_IMPL", "auto")

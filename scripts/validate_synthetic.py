@@ -53,6 +53,12 @@ def main() -> int:
     ap.add_argument("--iterations", type=int, default=8)
     ap.add_argument("--max_views", type=int, default=7)
     ap.add_argument("--out", default=str(REPO / "RESULTS.md"))
+    ap.add_argument("--border_check", action="store_true",
+                    help="enable the region border-consistency veto "
+                         "(config.border_check)")
+    ap.add_argument("--only_views", default="",
+                    help="comma list: process only these views "
+                         "(others must already exist)")
     ns = ap.parse_args()
 
     import jax
@@ -75,14 +81,16 @@ def main() -> int:
         print(f"# scene exported to {root}", file=sys.stderr)
 
     params = AlgorithmParams(iterations=ns.iterations,
-                             max_views=ns.max_views)
+                             max_views=ns.max_views,
+                             border_check=ns.border_check)
+    only = {int(v) for v in ns.only_views.split(",") if v != ""}
 
     view_times = []
     scene = pipeline.load_scene(root)
     for ref in range(ns.views):
         name = scene.names[ref]
         done = root / "results" / name / "TSAR_disp.dmb"
-        if done.exists():
+        if (only and ref not in only) or done.exists():
             view_times.append(None)
             print(f"# view {ref}: resume (exists)", file=sys.stderr)
             continue

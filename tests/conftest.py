@@ -21,10 +21,14 @@ import jax  # noqa: E402
 if not os.environ.get("TSAR_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: the PatchMatch/WMF programs take minutes
-# of XLA compile each; caching makes suite re-runs compile-free. The
-# directory is machine-scoped (utils/cache.py): foreign-machine CPU AOT
-# entries SIGILL/segfault on load (the historical flaky worker crashes).
+# Persistent compilation cache, MACHINE-SCOPED (utils/cache.py): /tmp
+# on this fleet is a shared volume written by other build machines, and
+# deserializing a foreign host's XLA:CPU AOT executable segfaults
+# (cpu_aot_loader warns SIGILL on feature mismatch; crash stack:
+# compilation_cache.get_executable_and_time — the historical flaky
+# worker crashes). The CPU-flags fingerprint in the directory name
+# keeps foreign executables out; never copy entries in from another
+# directory.
 from tsar_mvs_tpu.utils.cache import setup_compilation_cache  # noqa: E402
 setup_compilation_cache()
 

@@ -115,3 +115,32 @@ def test_border_check_vetoes_bad_region_plane(scene):
     thr = params.border_check_thr * params.depth_min
     assert jumps["bad"] > thr
     assert jumps["good"] < thr, jumps
+
+
+def test_prior_drift_revert(scene):
+    """gipuma_compute_disp_final revert semantics (gipuma.cu:757-808):
+    pixels drifted > thr disparities from the prior revert to it."""
+    cams = geo.build_camera_set(list(scene.P), depth_min=scene.depth_min,
+                                depth_max=scene.depth_max)
+    H, W = scene.depth[0].shape
+    gt = np.where(np.isfinite(scene.depth[0]), scene.depth[0],
+                  scene.depth_max)
+    rays = geo.pixel_rays(cams, H, W)
+    n = jnp.asarray(np.broadcast_to([0.0, 0.0, -1.0], (H, W, 3)),
+                    jnp.float32)
+    d_prior = geo.plane_d_from_depth(n, rays, jnp.asarray(gt, jnp.float32))
+    # Perturb half the image far beyond the drift threshold.
+    half = np.zeros((H, W), bool)
+    half[:, W // 2:] = True
+    depth_bad = np.where(half, gt * 2.0, gt).astype(np.float32)
+    d_bad = geo.plane_d_from_depth(n, rays, jnp.asarray(depth_bad))
+    state = pm.PlaneState(normal=n, d=d_bad,
+                          cost=jnp.zeros((H, W)), ratio=jnp.zeros((H, W)),
+                          best_view=jnp.zeros((H, W), jnp.int32))
+    out = tsar.prior_drift_revert(cams, state, n, d_prior, drift_thr=6.0)
+    xx = jnp.arange(W, dtype=jnp.float32)[None, :]
+    yy = jnp.arange(H, dtype=jnp.float32)[:, None]
+    depth_out = np.asarray(geo.depth_from_plane(cams, out.normal, out.d,
+                                                xx, yy))
+    np.testing.assert_allclose(depth_out[half], gt[half], rtol=1e-4)
+    np.testing.assert_allclose(depth_out[~half], gt[~half], rtol=1e-4)

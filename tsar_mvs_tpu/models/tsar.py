@@ -217,6 +217,31 @@ def wmf_final_stage(ref_img: jnp.ndarray, cams: geo.CameraSet,
                       best_view=state.best_view), disp, reliable
 
 
+@functools.partial(jax.jit, static_argnames=("drift_thr",))
+def prior_drift_revert(cams: geo.CameraSet, state: PlaneState,
+                       prior_normal: jnp.ndarray, prior_d: jnp.ndarray,
+                       drift_thr: float = 6.0) -> PlaneState:
+    """gipuma_compute_disp_final's revert clause (gipuma.cu:757-808,
+    uncalled in the reference snapshot): pixels whose refined disparity
+    drifted more than `drift_thr` from the prior's take the prior plane
+    back. Opt-in (the snapshot never invokes it); useful when a trusted
+    APD prior exists."""
+    H, W = state.d.shape
+    xx = jnp.arange(W, dtype=jnp.float32)[None, :]
+    yy = jnp.arange(H, dtype=jnp.float32)[:, None]
+    disp_new = geo.disparity_depth(
+        cams.f, cams.baseline,
+        geo.depth_from_plane(cams, state.normal, state.d, xx, yy))
+    disp_prior = geo.disparity_depth(
+        cams.f, cams.baseline,
+        geo.depth_from_plane(cams, prior_normal, prior_d, xx, yy))
+    revert = jnp.abs(disp_new - disp_prior) > drift_thr
+    return PlaneState(
+        normal=jnp.where(revert[..., None], prior_normal, state.normal),
+        d=jnp.where(revert, prior_d, state.d),
+        cost=state.cost, ratio=state.ratio, best_view=state.best_view)
+
+
 @jax.jit
 def finalize_stage(cams: geo.CameraSet, state: PlaneState):
     """gipuma_compute_disp (gipuma.cu:810-844): rotate normals back to the

@@ -34,7 +34,12 @@ def cache_dir() -> str:
         import platform
         flags = platform.processor() + platform.machine()
     tag = hashlib.sha1(flags.encode()).hexdigest()[:10]
-    return f"/tmp/tsar_jax_cache_{tag}"
+    # Concurrent xdist workers also get private caches: a reader hitting
+    # another process's in-flight write segfaults in the executable
+    # deserializer (observed crash stack: get_executable_and_time).
+    worker = os.environ.get("PYTEST_XDIST_WORKER")
+    suffix = f"_{worker}" if worker else ""
+    return f"/tmp/tsar_jax_cache_{tag}{suffix}"
 
 
 def setup_compilation_cache(min_compile_secs: float = 5.0) -> str:
