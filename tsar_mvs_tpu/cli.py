@@ -358,6 +358,12 @@ COMMANDS = {
 
 
 def main(argv: list[str] | None = None) -> int:
+    import os
+    if os.environ.get("TSAR_FORCE_CPU") == "1":
+        # The tunneled TPU plugin ignores JAX_PLATFORMS; subprocess
+        # callers (tests, batch scripts) force CPU through jax.config.
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     argv = sys.argv[1:] if argv is None else argv
     if not argv or argv[0] in ("-h", "--help"):
         print("usage: tsar {" + ",".join(COMMANDS) + "} ...")
