@@ -63,7 +63,10 @@ from tsar_mvs_tpu.ops.ncc import RefStats, window_offsets
 HALO_Y = 8       # packed = dense rows (even, multiple of 8)
 HALO_X = 64      # packed cols = 128 dense cols (multiple of 128 total)
 KS = 16          # planes per DMA window
-TILE_H = 64      # packed-tile rows
+# Packed-tile rows: smaller tiles have narrower s-brackets (less depth
+# spread per tile -> fewer planes walked) but more fixed overhead.
+# Must keep TILE_H + 2*HALO_Y a multiple of 16 (bf16 sublane tiling).
+TILE_H = int(os.environ.get("TSAR_PALLAS_TILE_H", 64))
 TILE_W = 128     # packed-tile cols (lane width)
 CBLK = 2         # candidates per grid step (shared DMA/slices)
 
