@@ -114,6 +114,29 @@ def main() -> int:
             # does not reliably block on the axon TPU tunnel).
             return float(jnp.sum(st.cost))
 
+        # Optional per-phase split: the view-sharded pipeline's only
+        # collective is fusion's all-gather — timing it separately
+        # separates communication from compute contention
+        # (TSAR_SCALE_FUSE=1; pads the ref count to the mesh).
+        fuse_phase = os.environ.get("TSAR_SCALE_FUSE") == "1"
+        if fuse_phase:
+            from tsar_mvs_tpu.config import FusionParams
+            Vf = (R + n_dev - 1) // n_dev * n_dev
+            cams_w = geo.build_camera_set(
+                [np.asarray(scene.P[i % scene.num_views])
+                 for i in range(Vf)], rebase=False)
+            dmaps = jnp.asarray(
+                np.stack([np.where(np.isfinite(scene.depth[i % 4]),
+                                   scene.depth[i % 4], 0.0)
+                          for i in range(Vf)]), jnp.float32)
+            nmaps = jnp.asarray(
+                np.stack([scene.normal_world[i % 4] for i in range(Vf)]))
+
+            def run_fuse():
+                out = pmesh.fuse_sharded(mesh, dmaps, nmaps, cams_w,
+                                         FusionParams())
+                return float(jnp.sum(out[2]))
+
         run()  # compile
         times = []
         for _ in range(3):
@@ -121,11 +144,19 @@ def main() -> int:
             run()
             times.append(time.perf_counter() - t0)
         t = min(times)
+        rec = {"devices": n_dev, "refs": R, "wall_s": round(t, 4),
+               "depthmaps_per_s": round(R / t, 3)}
+        if fuse_phase:
+            run_fuse()  # compile
+            fts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run_fuse()
+                fts.append(time.perf_counter() - t0)
+            rec["fuse_s"] = round(min(fts), 4)
         dm_s = R / t
         results.append((n_dev, t, dm_s))
-        print(json.dumps({"devices": n_dev, "refs": R,
-                          "wall_s": round(t, 4),
-                          "depthmaps_per_s": round(dm_s, 3)}))
+        print(json.dumps(rec))
 
     t1 = results[0][1]
     tn = results[-1][1]

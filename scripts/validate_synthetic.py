@@ -1,17 +1,24 @@
 #!/usr/bin/env python
-"""Full-pipeline validation on a full-resolution synthetic scene.
+"""Full-pipeline validation on full-resolution synthetic scenes.
 
 No real ETH3D/Middlebury data exists in this environment (zero egress),
 so this is the committed quality proxy for the north star ("output
 should match the middlebury benchmark submission",
-/root/reference/README.md:71; BASELINE.json F1@2cm): a >=1344x2048
-synthetic scene runs end-to-end — process_scene (PatchMatch + TSAR
-refinement per view) then fuse_scene — and the fused cloud scores
-against the GT cloud with the ETH3D F-score protocol (eval.py).
-Writes RESULTS.md at the repo root.
+/root/reference/README.md:71; BASELINE.json F1@2cm): each scene runs
+end-to-end — process_scene (PatchMatch + TSAR refinement per view) then
+fuse_scene — and the fused cloud scores against the GT cloud with the
+ETH3D F-score protocol (eval.py). Writes RESULTS.md at the repo root.
 
-Usage: python scripts/validate_synthetic.py [--height 1344 --width 2048
-       --views 8 --root /tmp/tsar_validate] (re-runs resume per view)
+Scene specs (--scenes, comma list of name=kind:seed[:jitter]):
+    planar:0        the bench scene (planar weak regions, seed 0)
+    planar:1:1.0    jittered geometry, different texture seed
+    curved:0        cylinder-section weak region — a single RANSAC
+                    plane is wrong by construction (WMF must carry)
+
+Usage: python scripts/validate_synthetic.py
+       [--height 1344 --width 2048 --views 8]
+       [--scenes planar:0,planar:1:1.0,curved:0]
+       [--root /tmp/tsar_validate] (re-runs resume per view)
 """
 
 from __future__ import annotations
@@ -44,26 +51,17 @@ def gt_cloud(scene, stride: int = 4):
     return np.concatenate(pts)
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--height", type=int, default=1344)
-    ap.add_argument("--width", type=int, default=2048)
-    ap.add_argument("--views", type=int, default=8)
-    ap.add_argument("--root", default="/tmp/tsar_validate")
-    ap.add_argument("--iterations", type=int, default=8)
-    ap.add_argument("--max_views", type=int, default=7)
-    ap.add_argument("--out", default=str(REPO / "RESULTS.md"))
-    ap.add_argument("--border_check", action="store_true",
-                    help="enable the region border-consistency veto "
-                         "(config.border_check)")
-    ap.add_argument("--only_views", default="",
-                    help="comma list: process only these views "
-                         "(others must already exist)")
-    ns = ap.parse_args()
+def parse_spec(spec: str):
+    parts = spec.split(":")
+    kind = parts[0]
+    seed = int(parts[1]) if len(parts) > 1 else 0
+    jitter = float(parts[2]) if len(parts) > 2 else 0.0
+    assert kind in ("planar", "curved"), kind
+    return kind, seed, jitter
 
+
+def run_scene(ns, spec: str):
     import jax
-    from tsar_mvs_tpu.utils.cache import setup_compilation_cache
-    setup_compilation_cache()
     import numpy as np
 
     from tsar_mvs_tpu import eval as ev
@@ -72,13 +70,18 @@ def main() -> int:
     from tsar_mvs_tpu.utils import dmb, ply
     from tsar_mvs_tpu.utils.synthetic import make_scene, source_coverage
 
+    kind, seed, jitter = parse_spec(spec)
+    tag = spec.replace(":", "_").replace(".", "p")
     t_all = time.time()
     scene_gt = make_scene(height=ns.height, width=ns.width,
-                          num_views=ns.views, seed=0)
-    root = Path(ns.root)
+                          num_views=ns.views, seed=seed,
+                          curved_weak=(kind == "curved"),
+                          geometry_jitter=jitter)
+    root = Path(ns.root) if len(ns.scene_list) == 1 \
+        else Path(ns.root) / tag
     if not (root / "pair.txt").exists():
         scene_gt.export(root)
-        print(f"# scene exported to {root}", file=sys.stderr)
+        print(f"# scene {spec} exported to {root}", file=sys.stderr)
 
     params = AlgorithmParams(iterations=ns.iterations,
                              max_views=ns.max_views,
@@ -92,13 +95,14 @@ def main() -> int:
         done = root / "results" / name / "TSAR_disp.dmb"
         if (only and ref not in only) or done.exists():
             view_times.append(None)
-            print(f"# view {ref}: resume (exists)", file=sys.stderr)
+            print(f"# {spec} view {ref}: resume (exists)", file=sys.stderr)
             continue
         t0 = time.time()
         pipeline.process_view(scene, ref, params,
                               key=jax.random.PRNGKey(ref))
         view_times.append(time.time() - t0)
-        print(f"# view {ref}: {view_times[-1]:.1f}s", file=sys.stderr)
+        print(f"# {spec} view {ref}: {view_times[-1]:.1f}s",
+              file=sys.stderr)
 
     t0 = time.time()
     fused = pipeline.fuse_scene(root, FusionParams())
@@ -141,65 +145,112 @@ def main() -> int:
         })
 
     total_s = time.time() - t_all
-    out = {
+    return {
+        "scene": spec,
         "point": f"{ns.height}x{ns.width}x{ns.iterations}it/"
                  f"{min(ns.max_views, ns.views - 1)}src",
         "fscore@2cm": round(fs.f1, 4),
         "precision": round(fs.precision, 4),
         "recall": round(fs.recall, 4),
         "fuse_s": round(fuse_s, 1),
+        "total_s": round(total_s, 1),
         "views": rows,
     }
-    print(json.dumps(out))
 
-    timed = [r for r in rows if r["time_s"]]
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--height", type=int, default=1344)
+    ap.add_argument("--width", type=int, default=2048)
+    ap.add_argument("--views", type=int, default=8)
+    ap.add_argument("--root", default="/tmp/tsar_validate")
+    ap.add_argument("--iterations", type=int, default=8)
+    ap.add_argument("--max_views", type=int, default=7)
+    ap.add_argument("--out", default=str(REPO / "RESULTS.md"))
+    ap.add_argument("--border_check", action="store_true",
+                    help="enable the region border-consistency veto "
+                         "(config.border_check)")
+    ap.add_argument("--only_views", default="",
+                    help="comma list: process only these views "
+                         "(others must already exist)")
+    ap.add_argument("--scenes", default="planar:0",
+                    help="comma list of kind:seed[:jitter] scene specs")
+    ap.add_argument("--no_report", action="store_true",
+                    help="print JSON only; do not rewrite RESULTS.md")
+    ns = ap.parse_args()
+    ns.scene_list = ns.scenes.split(",")
+
+    from tsar_mvs_tpu.utils.cache import setup_compilation_cache
+    setup_compilation_cache()
+
+    reports = []
+    for spec in ns.scene_list:
+        rep = run_scene(ns, spec)
+        reports.append(rep)
+        print(json.dumps(rep))
+        sys.stdout.flush()
+
+    if ns.no_report:
+        return 0
+
     lines = [
-        "# RESULTS — full-pipeline validation on the synthetic proxy",
+        "# RESULTS — full-pipeline validation on synthetic proxy scenes",
         "",
         "No real ETH3D/Middlebury data is reachable from this "
-        "environment (zero egress), so the committed quality number is "
-        "the full-resolution synthetic proxy below: `process_scene` + "
+        "environment (zero egress), so the committed quality numbers "
+        "are full-resolution synthetic proxies: `process_scene` + "
         "`fuse_scene` end-to-end, fused cloud scored against the GT "
         "cloud with the ETH3D F-score protocol "
         "(`eval.point_cloud_fscore`). Regenerate with "
-        "`python scripts/validate_synthetic.py`.",
+        "`python scripts/validate_synthetic.py --scenes "
+        + ns.scenes + "`.",
         "",
-        f"Operating point: **{out['point']}** "
-        f"(reference scripts' full point: "
-        f"scripts/courtyard.sh:11-15 — 2K ETH3D, 8 iterations).",
+        f"Operating point: **{reports[0]['point']}** "
+        f"(reference scripts' full point: scripts/courtyard.sh:11-15 — "
+        f"2K ETH3D, 8 iterations). Flags: "
+        f"border_check={'on' if ns.border_check else 'off'}.",
         "",
-        "## Fused point cloud vs GT",
+        "Scenes: `planar:<seed>` = textured planes with a planar "
+        "textureless patch (the bench geometry; a jitter suffix "
+        "perturbs the geometry per seed); `curved:<seed>` = a "
+        "textureless CYLINDER section, where region RANSAC's single "
+        "plane is wrong by construction and the fine WMF must carry "
+        "the fill.",
         "",
-        "| metric | value |",
-        "|---|---|",
-        f"| F-score @ 2 cm | **{out['fscore@2cm']}** |",
-        f"| precision @ 2 cm | {out['precision']} |",
-        f"| recall @ 2 cm | {out['recall']} |",
-        f"| fusion wall-clock | {out['fuse_s']} s |",
+        "## Fused point cloud vs GT (per scene)",
         "",
-        "## Per-view depth quality (final TSAR output vs GT)",
-        "",
-        "acc<2% = fraction of valid pixels within 2% relative depth "
-        "error; `weak` = inside the scene's textureless regions (the "
-        "pixels TSAR exists to fix); completeness = valid/GT pixels.",
-        "",
-        "| view | acc<2% textured | acc<2% weak | weak median rel err "
-        "| completeness | time (s) |",
-        "|---|---|---|---|---|---|",
+        "| scene | F-score @ 2 cm | precision | recall | fusion (s) |",
+        "|---|---|---|---|---|",
     ]
-    for r in rows:
-        lines.append(f"| {r['view']} | {r['acc2_textured']} | "
-                     f"{r['acc2_weak']} | {r['weak_med_rel']} | "
-                     f"{r['completeness']} | {r['time_s']} |")
-    if timed:
-        mean_t = sum(r["time_s"] for r in timed) / len(timed)
-        lines += ["",
-                  f"Mean per-view wall-clock (timed views): "
-                  f"**{mean_t:.1f} s** (reference: ~20 s/view on a "
-                  f"GTX 980 at 2K x 7 src, README.md:37-41).",
-                  "",
-                  f"Total run: {total_s / 60:.1f} min "
-                  f"(resume-aware; completed views skip)."]
+    for rep in reports:
+        lines.append(f"| {rep['scene']} | **{rep['fscore@2cm']}** | "
+                     f"{rep['precision']} | {rep['recall']} | "
+                     f"{rep['fuse_s']} |")
+    for rep in reports:
+        lines += [
+            "",
+            f"## Per-view depth quality — scene {rep['scene']}",
+            "",
+            "acc<2% = fraction of valid pixels within 2% relative depth "
+            "error; `weak` = inside the scene's textureless regions "
+            "(the pixels TSAR exists to fix); completeness = valid/GT "
+            "pixels.",
+            "",
+            "| view | acc<2% textured | acc<2% weak | weak median rel "
+            "err | completeness | time (s) |",
+            "|---|---|---|---|---|---|",
+        ]
+        for r in rep["views"]:
+            lines.append(f"| {r['view']} | {r['acc2_textured']} | "
+                         f"{r['acc2_weak']} | {r['weak_med_rel']} | "
+                         f"{r['completeness']} | {r['time_s']} |")
+        timed = [r for r in rep["views"] if r["time_s"]]
+        if timed:
+            mean_t = sum(r["time_s"] for r in timed) / len(timed)
+            lines += ["",
+                      f"Mean per-view wall-clock (timed views): "
+                      f"**{mean_t:.1f} s** (reference: ~20 s/view on a "
+                      f"GTX 980 at 2K x 7 src, README.md:37-41)."]
     Path(ns.out).write_text("\n".join(lines) + "\n")
     print(f"# wrote {ns.out}", file=sys.stderr)
     return 0

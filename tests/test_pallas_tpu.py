@@ -5,7 +5,8 @@ The interpret-mode oracles (tests/test_pallas_ncc.py) validate kernel
 lowering, double-buffered semaphores — are exactly what interpret mode
 cannot catch (VERDICT r3 weak #8). This file runs the COMPILED kernel
 on the real chip against the XLA s-volume sweep. It is skipped on the
-CPU suite and runs as part of the bench routine:
+CPU suite; `bench.py` invokes it automatically when running on TPU
+(tpu_crosscheck key in the bench JSON), and it can be run by hand:
 
     TSAR_TEST_TPU=1 python -m pytest tests/test_pallas_tpu.py -n0
 """

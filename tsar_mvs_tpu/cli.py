@@ -30,12 +30,17 @@ def _alg_params(ns) -> "AlgorithmParams":
                         ("min_angle", "min_angle"),
                         ("max_angle", "max_angle"),
                         ("max_disparity", "max_disparity"),
-                        ("max_views", "max_views")):
+                        ("max_views", "max_views"),
+                        ("border_check_thr", "border_check_thr")):
         v = getattr(ns, flag, None)
         if v is not None:
             kw[field] = v
     if getattr(ns, "color_processing", False):
         kw["color_processing"] = True
+    if getattr(ns, "border_check", False):
+        # Region border-consistency veto (main.cpp:1735-1780, behind
+        # `if (false)` in the reference; opt-in product flag here).
+        kw["border_check"] = True
     return AlgorithmParams(**kw)
 
 
@@ -104,6 +109,10 @@ def cmd_gipuma(argv: list[str]) -> int:
     p.add_argument("--no_texture_sim", type=float, default=None)
     p.add_argument("--no_texture_per", type=float, default=None)
     p.add_argument("-color_processing", action="store_true")
+    p.add_argument("--border_check", action="store_true",
+                   help="veto region fills with implausible border "
+                        "depth jumps (main.cpp:1735-1780)")
+    p.add_argument("--border_check_thr", type=float, default=None)
     # Reference scripts pass unset shell vars as empty values
     # (`--min_angle=`, scripts/courtyard.sh:44); sscanf ignores them —
     # drop such tokens so a script line runs verbatim.
@@ -216,6 +225,13 @@ def cmd_scene(argv: list[str]) -> int:
                    help="skip views whose TSAR_disp.dmb already exists")
     p.add_argument("--fuse", action="store_true",
                    help="run fusion after all views")
+    p.add_argument("--border_check", action="store_true",
+                   help="veto region fills with implausible border "
+                        "depth jumps (main.cpp:1735-1780)")
+    p.add_argument("--border_check_thr", type=float, default=None)
+    p.add_argument("-color_processing", dest="color_processing",
+                   action="store_true",
+                   help="3-channel bilateral NCC (main.cpp:1151-1185)")
     ns = p.parse_args(argv)
     from tsar_mvs_tpu import pipeline
     params = _alg_params(ns)

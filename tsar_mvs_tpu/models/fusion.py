@@ -191,10 +191,21 @@ def fusion_votes_traced(ref: jnp.ndarray, depths: jnp.ndarray,
     return point_sum, normal_sum, count, emit, jnp.stack(consumed_maps)
 
 
+@functools.partial(jax.jit, static_argnames=("fp",))
+def _fusion_votes_traced_jit(ref: jnp.ndarray, depths: jnp.ndarray,
+                             normals: jnp.ndarray, cams: geo.CameraSet,
+                             used: jnp.ndarray, fp: FusionParams):
+    return fusion_votes_traced(ref, depths, normals, cams, used, fp)
+
+
 def fuse(depths: np.ndarray, normals: np.ndarray, cams: geo.CameraSet,
          gray: np.ndarray, fp: FusionParams) -> FusedCloud:
     """Sequential fused point cloud over all reference views
-    (x/*.sh driver semantics; used_list de-duplication when enabled)."""
+    (x/*.sh driver semantics; used_list de-duplication when enabled).
+
+    Uses the traced-reference vote program: ONE compiled program serves
+    every reference view (the static-`ref` variant compiled V programs —
+    measured 208 s of fusion for 8 views at 2K, nearly all compile)."""
     V, H, W = depths.shape
     depths_j = jnp.asarray(depths, jnp.float32)
     normals_j = jnp.asarray(normals, jnp.float32)
@@ -202,8 +213,9 @@ def fuse(depths: np.ndarray, normals: np.ndarray, cams: geo.CameraSet,
 
     pts, nrms, cols, view_of = [], [], [], []
     for ref in range(V):
-        ps, ns, count, emit, consumed = fusion_votes(
-            ref, depths_j, normals_j, cams, used, fp, V)
+        ps, ns, count, emit, consumed = _fusion_votes_traced_jit(
+            jnp.asarray(ref, jnp.int32), depths_j, normals_j, cams, used,
+            fp)
         denom = (count + 1).astype(jnp.float32)[..., None]
         p_avg = np.asarray(ps / denom)
         n_avg = np.array(ns / denom)

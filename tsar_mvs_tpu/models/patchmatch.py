@@ -71,6 +71,41 @@ def svolume_plane_counts(cams: geo.CameraSet, view_ids, height: int,
     return tuple(counts)
 
 
+def svolume_plane_counts_shared(cams_list: Sequence[geo.CameraSet],
+                                view_ids_list: Sequence[Sequence[int]],
+                                height: int, width: int,
+                                params: AlgorithmParams
+                                ) -> tuple[int, ...]:
+    """Scene-shared static plane counts: the per-source-slot max over all
+    reference views' counts, with the memory budget re-applied on the
+    shared maxima. One count tuple => one compiled PatchMatch program for
+    every view of the scene (the reference binary likewise compiles once
+    and serves the whole shell loop, scripts/courtyard.sh:28-48; per-view
+    static counts made view N+1 recompile what view N already paid for).
+    """
+    import numpy as np
+    s_lo, s_hi = sv.s_range_for_depths(params.depth_min, params.depth_max,
+                                       params.svolume_margin)
+    As = [np.asarray(c.A)[list(v)] for c, v in zip(cams_list,
+                                                   view_ids_list)]
+    bs = [np.asarray(c.b)[list(v)] for c, v in zip(cams_list,
+                                                   view_ids_list)]
+
+    def shared(step):
+        per_ref = np.stack([
+            sv.plane_counts(A, b, height, width, s_lo, s_hi, step_px=step)
+            for A, b in zip(As, bs)])
+        return per_ref.max(axis=0)
+
+    step = params.svolume_step_px
+    out = shared(step)
+    budget = params.svolume_budget_mb << 20
+    while out.sum() * height * width * 2 > budget and step < 64.0:
+        step *= 1.5
+        out = shared(step)
+    return tuple(int(c) for c in out)
+
+
 class PlaneState(NamedTuple):
     """Per-pixel plane hypotheses (the SoA core of LineState,
     linestate.h:10-221)."""
@@ -329,12 +364,18 @@ def _refinement_pass(state: PlaneState, parity: int, key: jax.Array,
         u = jax.random.uniform(k_z, shape, jnp.float32)
         if blocked:
             # Tile-blocked coarse scales (config.refine_block_frac):
-            # u = frac(u_tile + u_pixel*jfrac) — per-pixel marginal stays
-            # exactly uniform while the spread inside one Pallas kernel
-            # tile (pallas_ncc.TILE_H x TILE_W on the packed grid) is
-            # bounded by jfrac, so the kernel's per-tile s-bracket walk
-            # skips the planes the tile doesn't touch. jfrac -> 1 at fine
-            # scales recovers the pure per-pixel draw.
+            # u = fold(u_tile + u_pixel*jfrac/2) with fold(w) =
+            # 1 - |2*frac(w) - 1| (a triangle wave). fold of a uniform
+            # variable is exactly uniform, so the per-pixel marginal is
+            # unchanged, while fold is CONTINUOUS across integer w —
+            # unlike the previous mod(), whose wrap split ~jfrac of the
+            # tiles into draws at BOTH extremes of the disparity range
+            # and blew those tiles' s-brackets open to the full volume.
+            # |dfold/dw| = 2, so the per-tile span of u is <= jfrac and
+            # the kernel's per-tile s-bracket walk (pallas_ncc.TILE_H x
+            # TILE_W on the packed grid) skips the planes the tile
+            # doesn't touch. jfrac -> 1 at fine scales recovers the pure
+            # per-pixel draw.
             from tsar_mvs_tpu.ops import pallas_ncc as pn
             th, tw = pn.TILE_H, pn.TILE_W
             bh, bw = -(-shape[0] // th), -(-shape[1] // tw)
@@ -344,7 +385,8 @@ def _refinement_pass(state: PlaneState, parity: int, key: jax.Array,
                              1)[:shape[0], :shape[1]]
             jfrac = jnp.minimum(1.0, params.max_disparity
                                 * params.refine_block_frac / delta_z)
-            u = jnp.mod(u_t + u * jfrac, 1.0)
+            w = jnp.mod(u_t + u * (0.5 * jfrac), 1.0)
+            u = 1.0 - jnp.abs(2.0 * w - 1.0)
         dz = min_delta + u * (max_delta - min_delta)
         disp_new = jnp.clip(disp_now + dz, params.min_disparity,
                             params.max_disparity)
@@ -475,7 +517,9 @@ def run_patchmatch(key: jax.Array, imgs: jnp.ndarray,
                    params: AlgorithmParams,
                    iterations: int | None = None,
                    init_state: PlaneState | None = None,
-                   imgs_color: jnp.ndarray | None = None) -> PlaneState:
+                   imgs_color: jnp.ndarray | None = None,
+                   svol_planes: tuple[int, ...] | None = None,
+                   reeval_init_cost: bool = False) -> PlaneState:
     """Full PatchMatch: random (or prior) init + N checkerboard iterations.
 
     imgs: (V, H, W) float32, index 0 = reference view. Host-side wrapper:
@@ -483,31 +527,60 @@ def run_patchmatch(key: jax.Array, imgs: jnp.ndarray,
     path, derives the static per-view plane counts before entering jit.
     imgs_color (V, 3, H, W) + params.color_processing selects the color
     (float4-equivalent) NCC direct path (ops/ncc_color.py).
+
+    svol_planes: static per-source plane counts override (scene-shared
+    counts from svolume_plane_counts_shared keep one compiled program
+    per scene instead of one per view). reeval_init_cost: re-evaluate
+    `init_state`'s stored costs with THIS configuration's cost function
+    inside the jit (pyramid level lifts and priors carry stale or
+    foreign-sampler costs; in-jit re-evaluation also makes them
+    bit-consistent with the loop's candidate costs).
     """
     H, W = imgs.shape[1:]
     if params.color_processing and imgs_color is not None:
         return _run_patchmatch_color_jit(key, imgs_color, tuple(view_ids),
                                          cams, params, iterations,
-                                         init_state)
+                                         init_state,
+                                         reeval_init_cost=reeval_init_cost)
     impl = resolve_ncc_impl(params, H, W)
-    svol_planes = None
-    if impl in ("svolume", "pallas"):
+    if impl == "pallas" and not cb.parity_compressible(H, W):
+        # 'auto' falls back to svolume here; an explicit request cannot
+        # be honored (the kernel runs on the checkerboard-packed (H, W/2)
+        # layout, which needs even dims with aligned parity classes).
+        raise ValueError(
+            f"ncc_impl='pallas' requires parity-compressible dimensions "
+            f"(even H and W with aligned parity classes); got {H}x{W}. "
+            "Use ncc_impl='auto' (falls back to svolume) or pad the "
+            "images to even dimensions.")
+    if impl not in ("svolume", "pallas"):
+        svol_planes = None
+    elif svol_planes is None:
         svol_planes = svolume_plane_counts(cams, view_ids, H, W, params)
     return _run_patchmatch_jit(key, imgs, tuple(view_ids), cams, params,
                                iterations, init_state, svol_planes,
-                               impl == "pallas")
+                               impl == "pallas", reeval_init_cost)
+
+
+def _reeval_state(state: PlaneState, cost_fn) -> PlaneState:
+    """Replace a state's stored cost/ratio/best_view with cost_fn's
+    (dense-grid) evaluation of its planes."""
+    mv = cost_fn(state.normal, state.d, None)
+    return state._replace(cost=mv.cost, ratio=mv.ratio,
+                          best_view=mv.best_view)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("view_ids", "params", "iterations",
-                                    "svol_planes", "use_pallas"))
+                                    "svol_planes", "use_pallas",
+                                    "reeval_init_cost"))
 def _run_patchmatch_jit(key: jax.Array, imgs: jnp.ndarray,
                         view_ids: tuple[int, ...], cams: geo.CameraSet,
                         params: AlgorithmParams,
                         iterations: int | None = None,
                         init_state: PlaneState | None = None,
                         svol_planes: tuple[int, ...] | None = None,
-                        use_pallas: bool = False) -> PlaneState:
+                        use_pallas: bool = False,
+                        reeval_init_cost: bool = False) -> PlaneState:
     stats = ncc.precompute_ref_stats(imgs[0], cams, params)
     init_key, key = jax.random.split(key)
     H, W = imgs.shape[1:]
@@ -525,6 +598,8 @@ def _run_patchmatch_jit(key: jax.Array, imgs: jnp.ndarray,
         if init_state is None:
             init_state = random_init_with(init_key, (H, W), cams,
                                           stats.rays, cost_fn, params)
+        elif reeval_init_cost:
+            init_state = _reeval_state(init_state, cost_fn)
         iters = params.iterations if iterations is None else iterations
         step = make_patchmatch_step(cost_fn, stats.rays, cams, params,
                                     pctx=pctx,
@@ -578,6 +653,8 @@ def _run_patchmatch_jit(key: jax.Array, imgs: jnp.ndarray,
     if init_state is None:
         init_state = random_init_with(init_key, (H, W), cams, stats.rays,
                                       cost_fn, params)
+    elif reeval_init_cost:
+        init_state = _reeval_state(init_state, cost_fn)
     iters = params.iterations if iterations is None else iterations
     step = make_patchmatch_step(cost_fn, stats.rays, cams, params,
                                 pctx=pctx)
@@ -586,13 +663,15 @@ def _run_patchmatch_jit(key: jax.Array, imgs: jnp.ndarray,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("view_ids", "params", "iterations"))
+                   static_argnames=("view_ids", "params", "iterations",
+                                    "reeval_init_cost"))
 def _run_patchmatch_color_jit(key: jax.Array, imgs_color: jnp.ndarray,
                               view_ids: tuple[int, ...],
                               cams: geo.CameraSet,
                               params: AlgorithmParams,
                               iterations: int | None = None,
-                              init_state: PlaneState | None = None
+                              init_state: PlaneState | None = None,
+                              reeval_init_cost: bool = False
                               ) -> PlaneState:
     """`-color_processing` PatchMatch: 3-channel bilateral NCC on the
     direct sampler (ops/ncc_color.py documents the float4-intent
@@ -612,6 +691,8 @@ def _run_patchmatch_color_jit(key: jax.Array, imgs_color: jnp.ndarray,
     if init_state is None:
         init_state = random_init_with(init_key, (H, W), cams, stats.rays,
                                       cost_fn, params)
+    elif reeval_init_cost:
+        init_state = _reeval_state(init_state, cost_fn)
     iters = params.iterations if iterations is None else iterations
     step = make_patchmatch_step(cost_fn, stats.rays, cams, params,
                                 pctx=pctx)
@@ -876,7 +957,9 @@ def run_patchmatch_pyramid(key: jax.Array, imgs: jnp.ndarray,
                            = None,
                            depth_min: float | None = None,
                            depth_max: float | None = None,
-                           imgs_color: jnp.ndarray | None = None
+                           imgs_color: jnp.ndarray | None = None,
+                           svol_planes_per_level: Sequence[
+                               tuple[int, ...] | None] | None = None
                            ) -> PlaneState:
     """Coarse-to-fine PatchMatch over `levels` (downsample factors,
     coarse to fine, last must be 1). Returns the full-resolution state.
@@ -884,6 +967,15 @@ def run_patchmatch_pyramid(key: jax.Array, imgs: jnp.ndarray,
     P_list: raw (unscaled) projection matrices in pipeline order
     (index 0 = reference). imgs_color (V, 3, H, W): color NCC mode
     (downsample_2x pyramids the trailing dims, so channels ride along).
+    svol_planes_per_level: per-level static plane-count overrides
+    (scene-shared counts so every reference view reuses one compiled
+    program per level; see svolume_plane_counts_shared).
+
+    The lifted state's costs are re-evaluated INSIDE each level's jitted
+    program with that level's own cost function (reeval_init_cost) — a
+    separate eager dense evaluation at full resolution cost ~25% of the
+    whole PatchMatch stage at the 2K operating point and stored
+    foreign-sampler costs the loop then compared against kernel costs.
     """
     import dataclasses
     assert levels[-1] == 1
@@ -918,28 +1010,13 @@ def run_patchmatch_pyramid(key: jax.Array, imgs: jnp.ndarray,
         if state is not None:
             Hs, Ws = imgs_s.shape[1:]
             state = upsample_state_2x(state, cams_s, Hs, Ws)
-            # Re-evaluate the lifted planes' costs at this scale.
-            if color:
-                from tsar_mvs_tpu.ops import ncc_color as nc
-                stats_c = nc.precompute_ref_stats_color(pyr_c[s][0],
-                                                        cams_s, params_s)
-                packed_c = {v: nc.pack_image_color(pyr_c[s][v])
-                            for v in view_ids}
-                mv = nc.multiview_cost_color(packed_c, view_ids, cams_s,
-                                             state.normal, state.d,
-                                             stats_c, params_s)
-            else:
-                stats = ncc.precompute_ref_stats(imgs_s[0], cams_s,
-                                                 params_s)
-                mv = ncc.multiview_cost(imgs_s, view_ids, cams_s,
-                                        state.normal, state.d, stats,
-                                        params_s)
-            state = PlaneState(normal=state.normal, d=state.d,
-                               cost=mv.cost, ratio=mv.ratio,
-                               best_view=mv.best_view)
+        planes_li = (svol_planes_per_level[li]
+                     if svol_planes_per_level is not None else None)
         state = run_patchmatch(jax.random.fold_in(key, li), imgs_s,
                                view_ids, cams_s, params_s,
                                iterations=iterations_per_level[li],
                                init_state=state,
-                               imgs_color=pyr_c[s] if color else None)
+                               imgs_color=pyr_c[s] if color else None,
+                               svol_planes=planes_li,
+                               reeval_init_cost=state is not None)
     return state

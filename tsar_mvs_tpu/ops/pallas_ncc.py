@@ -21,8 +21,11 @@ kernel can: per image tile it
 4. finishes the bilaterally-weighted NCC from the completed samples in
    a per-candidate epilogue, exactly as ncc.pm_cost_ab.
 
-Cost semantics are identical to svolume.svolume_cost_ab (oracle-tested
-bit-close); the candidate axis runs as a grid dimension in blocks of
+Cost semantics match svolume.svolume_cost_ab up to accumulation-order
+noise on decision-relevant pixels (oracle tolerance: median < 5e-4, q99
+< 5e-3, with rare 1.0<->2.0 flips at the low-variance saturation
+boundary — see tests/test_pallas_ncc.py); the candidate axis runs as a
+grid dimension in blocks of
 CBLK so one window DMA + one set of shifted-plane slices serves every
 candidate in the block (the reference evaluates 8 propagation banks per
 pixel, gipuma.cu:846-1050 — v1 of this kernel re-sliced and re-DMA'd
@@ -67,6 +70,11 @@ KS = 16          # planes per DMA window
 # spread per tile -> fewer planes walked) but more fixed overhead.
 # Must keep TILE_H + 2*HALO_Y a multiple of 16 (bf16 sublane tiling).
 TILE_H = int(os.environ.get("TSAR_PALLAS_TILE_H", 64))
+if (TILE_H + 2 * HALO_Y) % 16 != 0 or TILE_H <= 0:
+    raise ValueError(
+        f"TSAR_PALLAS_TILE_H={TILE_H}: TILE_H + 2*HALO_Y "
+        f"(= TILE_H + {2 * HALO_Y}) must be a positive multiple of 16 "
+        "(bf16 sublane tiling of the slab DMA)")
 TILE_W = 128     # packed-tile cols (lane width)
 CBLK = 2         # candidates per grid step (shared DMA/slices)
 

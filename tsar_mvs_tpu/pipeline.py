@@ -56,6 +56,12 @@ class Scene:
     # (the reference loads img_color only then too, main.cpp:1303-1306).
     images_color: np.ndarray | None = None
     images_dir: Path | None = None
+    # Scene-shared static s-volume plane counts per pyramid level,
+    # computed once and reused by every reference view so the whole
+    # scene runs on one compiled PatchMatch program per level (the
+    # reference's compile-once binary, scripts/courtyard.sh:28-48).
+    # Keyed by (level_scale, n_src); populated by scene_plane_counts.
+    _svol_counts_cache: dict | None = None
 
     def load_color(self) -> np.ndarray:
         if self.images_color is None:
@@ -188,6 +194,56 @@ def default_params_for_scene(scene: Scene,
     return params.with_depth_range(scene.depth_min, scene.depth_max, f)
 
 
+def pyramid_levels_for(height: int) -> tuple[int, ...]:
+    """Coarse-to-fine downsample factors for the prior-generating
+    pyramid (subsumes APD's multi-scale role, SURVEY.md §2 #28)."""
+    return (4, 2, 1) if height >= 1024 else (2, 1)
+
+
+def scene_plane_counts(scene: Scene, params: AlgorithmParams,
+                       levels: tuple[int, ...], n_src: int
+                       ) -> list[tuple[int, ...] | None]:
+    """Scene-shared static s-volume plane counts per pyramid level (max
+    over all reference views, budget re-applied), cached on the Scene:
+    every view of the scene then hits the same compiled PatchMatch
+    program per level instead of recompiling for its own geometry."""
+    H, W = scene.images.shape[1:]
+    if pm.resolve_ncc_impl(params, H, W) not in ("svolume", "pallas"):
+        return [None] * len(levels)
+    if scene._svol_counts_cache is None:
+        scene._svol_counts_cache = {}
+    out = []
+    # Per-level image dims follow downsample_2x halving.
+    dims = {1: (H, W)}
+    h, w, fac = H, W, 1
+    while fac < max(levels):
+        h, w, fac = h // 2, w // 2, fac * 2
+        dims[fac] = (h, w)
+    for s in levels:
+        key = (s, n_src)
+        if key not in scene._svol_counts_cache:
+            cams_list, vids_list = [], []
+            for ref_idx in range(len(scene.names)):
+                order, view_ids = view_image_order(
+                    scene, ref_idx, params.max_views,
+                    min_angle=params.min_angle,
+                    max_angle=params.max_angle)
+                if len(view_ids) != n_src:
+                    continue
+                cams_list.append(geo.build_camera_set(
+                    [scene.P[i] for i in order],
+                    cam_scale=float(s) * params.cam_scale,
+                    depth_min=scene.depth_min,
+                    depth_max=scene.depth_max))
+                vids_list.append(view_ids)
+            Hs, Ws = dims[s]
+            scene._svol_counts_cache[key] = \
+                pm.svolume_plane_counts_shared(cams_list, vids_list,
+                                               Hs, Ws, params)
+        out.append(scene._svol_counts_cache[key])
+    return out
+
+
 def run_slic_stage(gray: np.ndarray, params: AlgorithmParams
                    ) -> tuple[np.ndarray, slic_mod.SlicResult]:
     """SLIC superpixels on the quarter-scale reference image + graph
@@ -306,7 +362,7 @@ def process_view(scene: Scene, ref_idx: int,
         # (subsumes APD's multi-scale role, SURVEY.md §2 #28).
         iters = params.iterations if pm_iterations is None else pm_iterations
         H = imgs.shape[1]
-        levels = (4, 2, 1) if H >= 1024 else (2, 1)
+        levels = pyramid_levels_for(H)
         imgs_color = None
         if params.color_processing:
             imgs_color = jnp.asarray(scene.load_color()[order],
@@ -316,7 +372,9 @@ def process_view(scene: Scene, ref_idx: int,
             levels=levels,
             iterations_per_level=tuple([iters] * len(levels)),
             depth_min=scene.depth_min, depth_max=scene.depth_max,
-            imgs_color=imgs_color)
+            imgs_color=imgs_color,
+            svol_planes_per_level=scene_plane_counts(
+                scene, params, levels, len(view_ids)))
 
     result = tsar.tsar_refine(imgs, cams, view_ids, params, state, weak,
                               reliable_seed, jax.random.fold_in(key, 999))

@@ -43,6 +43,24 @@ class Rect3D:
         return n / np.linalg.norm(n)
 
 
+@dataclass
+class Cyl3D:
+    """A textureless vertical cylinder section: the curved weak-region
+    case where a single RANSAC plane is wrong BY CONSTRUCTION (the fitted
+    chord plane misses the surface by up to the sagitta) and the fine WMF
+    must carry the fill. A soft texture ramp near the angular/height rim
+    gives the region the matchable coplanar-ish halo real bare columns
+    have."""
+    c0: np.ndarray        # (3,) bottom center of the axis
+    axis: np.ndarray      # (3,) unit axis direction
+    radius: float
+    height: float
+    face_dir: np.ndarray  # (3,) unit: outward direction of the visible arc
+    span_deg: float = 120.0   # angular extent of the section
+    albedo: float = 0.55
+    rim: float = 0.18         # fractional rim width with texture ramp
+
+
 def value_noise(X: np.ndarray, seed: int = 0, octaves: int = 4,
                 base_freq: float = 2.0,
                 persistence: float = 0.5) -> np.ndarray:
@@ -264,10 +282,18 @@ def look_at(C: np.ndarray, target: np.ndarray,
 def make_scene(height: int = 96, width: int = 128, num_views: int = 5,
                seed: int = 0, weak_fraction: float = 0.25,
                arc_radius: float = 4.0, arc_span_deg: float = 40.0,
-               noise_sigma: float = 0.0) -> SyntheticScene:
+               noise_sigma: float = 0.0, curved_weak: bool = False,
+               geometry_jitter: float = 0.0) -> SyntheticScene:
     """Build a fronto-ish scene: a large slanted background plane, a tilted
     foreground rectangle, and a textureless rectangle covering roughly
-    `weak_fraction` of the image (exercises the TSAR weak-region path)."""
+    `weak_fraction` of the image (exercises the TSAR weak-region path).
+
+    curved_weak=True swaps the planar textureless patch for a bulging
+    textureless cylinder section (Cyl3D) — the case where region RANSAC's
+    single plane is wrong by construction. geometry_jitter > 0 perturbs
+    rect origins/edges and the weak-patch placement with seed-derived
+    noise (scene diversity across seeds; 0 keeps the bench/validation
+    geometry bit-stable for seed continuity)."""
     rng = np.random.default_rng(seed)
     f = 1.2 * width
     K = np.array([[f, 0, width / 2.0],
@@ -276,18 +302,44 @@ def make_scene(height: int = 96, width: int = 128, num_views: int = 5,
 
     wf = max(0.05, min(weak_fraction, 0.9))
     patch = (0.55, 0.55 + 0.35 * wf * 4, 0.30, 0.30 + 0.30 * wf * 4)
+    if geometry_jitter > 0:
+        # Shift the weak patch as a unit, bounded so it stays inside the
+        # camera arc's visible band of the background plane.
+        g = geometry_jitter
+        du, dv = rng.uniform(-0.08, 0.08, 2) * g
+        patch = (patch[0] + du, patch[1] + du,
+                 np.clip(patch[2] + dv, 0.3, 0.65),
+                 np.clip(patch[3] + dv, 0.3, 0.65))
     rects = [
         # Background: big plane at z≈6, slightly tilted, with an embedded
         # textureless (constant-albedo) patch — the TSAR weak-region case.
         Rect3D(origin=np.array([-8.0, -6.0, 6.5]),
                eu=np.array([16.0, 0.0, 1.2]),
                ev=np.array([0.0, 12.0, -0.8]), textured=True,
-               albedo=0.62, flat_patch=patch),
+               albedo=0.62,
+               flat_patch=None if curved_weak else patch),
         # Foreground tilted rectangle (adds a depth discontinuity).
         Rect3D(origin=np.array([-1.6, -1.4, 4.2]),
                eu=np.array([1.8, 0.0, 0.7]),
                ev=np.array([0.0, 1.6, -0.3]), textured=True),
     ]
+    if geometry_jitter > 0:
+        g = geometry_jitter
+        for r in rects:
+            r.origin = r.origin + rng.uniform(-0.3, 0.3, 3) * g
+            r.eu = r.eu + rng.uniform(-0.15, 0.15, 3) * g
+            r.ev = r.ev + rng.uniform(-0.15, 0.15, 3) * g
+    cyls = []
+    if curved_weak:
+        # Bare column bulging toward the cameras: textureless curved
+        # surface in front of the textured background.
+        c0 = np.array([0.9, -2.2, 5.9])
+        if geometry_jitter > 0:
+            c0 = c0 + rng.uniform(-0.3, 0.3, 3) * geometry_jitter
+        cyls.append(Cyl3D(c0=c0, axis=np.array([0.0, 1.0, 0.0]),
+                          radius=1.1, height=4.4,
+                          face_dir=np.array([0.0, 0.0, -1.0]),
+                          span_deg=110.0, albedo=0.55))
 
     target = np.array([0.0, 0.0, 5.0])
     angles = np.linspace(-np.deg2rad(arc_span_deg / 2),
@@ -367,6 +419,46 @@ def make_scene(height: int = 96, width: int = 128, num_views: int = 5,
             hit_n = np.where(valid[..., None], n, hit_n)
             hit_weak = np.where(valid, (not rect.textured) | in_patch,
                                 hit_weak)
+        for cyl in cyls:
+            av = cyl.axis / np.linalg.norm(cyl.axis)
+            oc = C - cyl.c0
+            d_perp = dirs - (dirs @ av)[..., None] * av
+            o_perp = oc - (oc @ av) * av
+            a = np.sum(d_perp * d_perp, axis=-1)
+            bq = 2.0 * (d_perp @ o_perp)
+            cq = o_perp @ o_perp - cyl.radius ** 2
+            disc = bq * bq - 4.0 * a * cq
+            ok_d = (disc > 0) & (a > 1e-12)
+            sq = np.sqrt(np.where(ok_d, disc, 0.0))
+            s = np.where(ok_d, (-bq - sq) / (2 * np.where(a > 1e-12, a, 1)),
+                         np.nan)                       # near (front) hit
+            X = C + s[..., None] * dirs
+            rel_ax = (X - cyl.c0) @ av
+            w_vec = (X - cyl.c0) - rel_ax[..., None] * av
+            n_map = w_vec / np.maximum(
+                np.linalg.norm(w_vec, axis=-1, keepdims=True), 1e-12)
+            fd = cyl.face_dir / np.linalg.norm(cyl.face_dir)
+            cosang = n_map @ fd
+            cos_half = np.cos(np.deg2rad(cyl.span_deg / 2))
+            valid = (np.isfinite(s) & (s > 0) & ok_d
+                     & (rel_ax >= 0) & (rel_ax <= cyl.height)
+                     & (cosang >= cos_half) & (s < best_s))
+            # Texture ramps in from the rim (angular + height edges) so
+            # the weak core has a matchable textured halo.
+            ang_in = (cosang - cos_half) / (1.0 - cos_half)   # 0 rim,1 apex
+            h_in = np.minimum(rel_ax, cyl.height - rel_ax) / cyl.height
+            inside = np.minimum(ang_in / cyl.rim,
+                                h_in / (cyl.rim * 0.5))
+            tex_w = np.clip(1.0 - inside, 0.0, 1.0)
+            tex_w = tex_w * tex_w * (3 - 2 * tex_w)
+            tex = 0.15 + 0.7 * value_noise(X, seed=seed, octaves=6,
+                                           persistence=0.7)
+            val = tex * tex_w + cyl.albedo * (1.0 - tex_w)
+            in_core = inside > 0.55
+            best_s = np.where(valid, s, best_s)
+            tex_val = np.where(valid, val, tex_val)
+            hit_n = np.where(valid[..., None], n_map, hit_n)
+            hit_weak = np.where(valid, in_core, hit_weak)
         # Camera-frame depth = z component of R X + t.
         X = C + best_s[..., None] * dirs
         z = (np.einsum("ij,hwj->hwi", R, X) + t)[..., 2]
