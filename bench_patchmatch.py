@@ -9,7 +9,9 @@ per impl:
     {"impl": ..., "per_view_s": N, "warmup_s": N, "acc2_pm": N}
 
 Env: TSAR_BENCH_H/W/VIEWS/ITERS (bench.py defaults), TSAR_AB_IMPLS
-(comma list, default "direct,svolume,pallas"), TSAR_AB_REPEATS.
+(comma list, default "direct,svolume,pallas"), TSAR_AB_REPEATS,
+TSAR_AB_STEP (svolume_step_px override), TSAR_AB_RBF
+(refine_block_frac override).
 
 The committed results live in PERF.md ("sampler A/B" table).
 """
@@ -61,9 +63,16 @@ def main() -> int:
         _ = np.asarray(jnp.sum(leaves[0].astype(jnp.float32)))
         return x
 
+    extra = {}
+    if os.environ.get("TSAR_AB_STEP"):
+        extra["svolume_step_px"] = float(os.environ["TSAR_AB_STEP"])
+    if os.environ.get("TSAR_AB_RBF"):
+        extra["refine_block_frac"] = float(os.environ["TSAR_AB_RBF"])
+    if os.environ.get("TSAR_AB_DZ0"):
+        extra["refine_dz0_frac"] = float(os.environ["TSAR_AB_DZ0"])
     for impl in impls:
         params = AlgorithmParams(
-            iterations=iters, ncc_impl=impl).with_depth_range(
+            iterations=iters, ncc_impl=impl, **extra).with_depth_range(
             scene.depth_min, scene.depth_max, float(cams.f))
 
         def run(key):

@@ -92,12 +92,15 @@ def main() -> int:
         return n, d
 
     @jax.jit
-    def eval_packed(n_p, d_p):
-        return pn.multiview_cost_pallas(vols_p[0], counts, float(s_lo),
+    def eval_packed(vols, n_p, d_p):
+        # vols as ARGUMENTS: closing over them bakes ~3 GB of constants
+        # into the lowering and stalls compilation for tens of minutes.
+        return pn.multiview_cost_pallas(vols, counts, float(s_lo),
                                         inv_ds, idx, valid, n_p, d_p,
                                         stats_p[0], params, 0)
 
-    def time_eval(n, d, C, reps=6):
+    def time_eval(n, d, C, reps=3):
+        print(f"# time_eval C={C} ...", file=sys.stderr, flush=True)
         n_p = cb.parity_compress_vec(n, 0)
         d_p = cb.parity_compress(d, 0)
         if C > 1:
@@ -105,11 +108,11 @@ def main() -> int:
             d_p = jnp.broadcast_to(d_p[None], (C,) + d_p.shape)
             # jitter candidates slightly so brackets aren't degenerate
             d_p = d_p * (1.0 + 1e-4 * jnp.arange(C)[:, None, None])
-        force(eval_packed(n_p, d_p))
+        force(eval_packed(vols_p[0], n_p, d_p))
         ts = []
         for _ in range(reps):
             t0 = time.time()
-            force(eval_packed(n_p, d_p))
+            force(eval_packed(vols_p[0], n_p, d_p))
             ts.append(time.time() - t0)
         return min(ts)
 
@@ -117,10 +120,10 @@ def main() -> int:
     # walked per tile) — replicates the kernel's tmin/tmax reduction.
     def bracket_stats(n, d, C=1):
         from tsar_mvs_tpu.ops.svolume import plane_scalars
-        s0, sx, sy = plane_scalars(n, d, stats_p[0])
-        s0, sx, sy = (np.asarray(cb.parity_compress(a, 0))
-                      if a.ndim == 2 else np.asarray(a) for a in
-                      (s0, sx, sy))
+        n_p = cb.parity_compress_vec(n, 0)
+        d_p = cb.parity_compress(d, 0)
+        s0, sx, sy = (np.asarray(a) for a in
+                      plane_scalars(n_p, d_p, stats_p[0]))
         rep = {}
         for v in range(len(counts)):
             S = counts[v]
@@ -148,14 +151,16 @@ def main() -> int:
     n_c, d_c = field(0.0)
     n_p8, d_p8 = field(params.max_disparity / 2)  # first refine scale
     n_p1, d_p1 = field(params.max_disparity / 20)  # second refine scale
+    print("# bracket stats ...", file=sys.stderr, flush=True)
     out["bracket_converged"] = bracket_stats(n_c, d_c)
     out["bracket_coarse_perturb"] = bracket_stats(n_p8, d_p8)
     out["bracket_mid_perturb"] = bracket_stats(n_p1, d_p1)
+    print(json.dumps(out), file=sys.stderr, flush=True)
     out["eval_C1_converged_s"] = round(time_eval(n_c, d_c, 1), 4)
-    out["eval_C8_converged_s"] = round(time_eval(n_c, d_c, 8), 4)
     out["eval_C1_coarse_s"] = round(time_eval(n_p8, d_p8, 1), 4)
     out["eval_C1_mid_s"] = round(time_eval(n_p1, d_p1, 1), 4)
-    print(json.dumps(out))
+    out["eval_C8_converged_s"] = round(time_eval(n_c, d_c, 8), 4)
+    print(json.dumps(out), flush=True)
     return 0
 
 

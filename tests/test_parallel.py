@@ -151,3 +151,59 @@ def test_fuse_sharded_used_list_replay(small_scene):
     # under-emit) vs the exact sequential path.
     assert n_par < n_raw, (n_par, n_raw)
     assert n_par >= n_seq, (n_par, n_seq)
+
+
+def test_rl_cost_fused_traced_matches_static(small_scene):
+    """rl_cost_fused_traced (traced warps, slot indirection) must equal
+    rl_cost_fused (static view ids) on the same field."""
+    from tsar_mvs_tpu.ops import ncc
+    scene = small_scene
+    cams = geo.build_camera_set(list(scene.P), depth_min=scene.depth_min,
+                                depth_max=scene.depth_max)
+    params = AlgorithmParams().with_depth_range(
+        scene.depth_min, scene.depth_max, float(cams.f))
+    imgs = jnp.asarray(scene.images, jnp.float32)
+    H, W = imgs.shape[1:]
+    view_ids = (1, 2, 3)
+    key = jax.random.PRNGKey(5)
+    n = geo.normalize(jax.random.normal(key, (H, W, 3)))
+    n = geo.hemisphere_flip(n, geo.view_vectors(cams, H, W))
+    depth = jnp.full((H, W), 0.5 * (scene.depth_min + scene.depth_max))
+    d = geo.plane_d_from_depth(n, geo.pixel_rays(cams, H, W), depth)
+    bv = jnp.asarray(
+        np.random.default_rng(0).choice([-1, 1, 2, 3], (H, W)))
+    ref = rl_static = ncc.rl_cost_fused(imgs[0], imgs, bv, view_ids,
+                                        cams, n, d, params)
+    src_ids = jnp.asarray(view_ids, jnp.int32)
+    rl_traced = ncc.rl_cost_fused_traced(
+        imgs[0], imgs[src_ids], bv, src_ids,
+        jnp.ones((3,), bool), cams.A[src_ids], cams.b[src_ids],
+        cams, n, d, params)
+    np.testing.assert_allclose(np.asarray(rl_traced),
+                               np.asarray(rl_static), atol=1e-5)
+
+
+def test_process_scene_sharded_end_to_end(small_scene, tmp_path):
+    """Whole-scene sharded driver on the spoofed 8-device mesh: produces
+    per-view artifacts + a fused cloud with finite geometry."""
+    from tsar_mvs_tpu import pipeline
+    from tsar_mvs_tpu.parallel import scene_sharded as ss
+    scene_gt = small_scene
+    root = tmp_path / "scene"
+    scene_gt.export(root)
+    scene = pipeline.load_scene(root)
+    params = AlgorithmParams(iterations=1, box_hsize=5, box_vsize=5,
+                             wmf_iters=1, wmf_final_iters=1,
+                             ransac_iters=200, ransac_anneal_rounds=10)
+    depths, normals, cloud = ss.process_scene_sharded(
+        scene, params, seed=0, pm_iterations=1)
+    V, H, W = scene_gt.depth.shape
+    assert depths.shape == (V, H, W)
+    assert np.isfinite(depths).all()
+    assert (depths > 0).mean() > 0.5
+    assert np.isfinite(normals).all()
+    assert cloud is not None and cloud.points.shape[0] > 100
+    assert np.isfinite(cloud.points).all()
+    for name in scene.names:
+        assert (root / "results" / name / "TSAR_disp.dmb").exists()
+    assert (root / "results" / "TSAR_fused.ply").exists()

@@ -232,11 +232,17 @@ def cmd_scene(argv: list[str]) -> int:
     p.add_argument("-color_processing", dest="color_processing",
                    action="store_true",
                    help="3-channel bilateral NCC (main.cpp:1151-1185)")
+    p.add_argument("--sharded", choices=("auto", "on", "off"),
+                   default="auto",
+                   help="view-sharded mesh execution across visible "
+                        "devices (auto: when >1 device)")
     ns = p.parse_args(argv)
     from tsar_mvs_tpu import pipeline
     params = _alg_params(ns)
+    sharded = {"auto": "auto", "on": True, "off": False}[ns.sharded]
     pipeline.process_scene(ns.scene_dir, params, seed=ns.seed,
-                           write_ply=not ns.no_ply, resume=ns.resume)
+                           write_ply=not ns.no_ply, resume=ns.resume,
+                           sharded=sharded)
     if ns.fuse:
         out = pipeline.fuse_scene(ns.scene_dir)
         print(f"fused cloud: {out}")

@@ -56,6 +56,12 @@ class AlgorithmParams:
     refine_delta_n_init: float = 1.0
     refine_delta_n_shrink: float = 4.0
     refine_delta_z_min: float = 0.01
+    # First random-search scale as a fraction of max_disparity
+    # (reference: max_disparity/2, gipuma.cu:640). With a pyramid prior
+    # the +/-50%-range scale is pure bracket cost on the s-volume kernel
+    # (it walks ~70% of the volume per tile); coarse-to-fine levels can
+    # shrink it since the prior already bounds the error.
+    refine_dz0_frac: float = 0.5
     # Image rescale factor applied to K (reference: cam_scale).
     cam_scale: float = 1.0
     # View-selection angles for the legacy angle-based path

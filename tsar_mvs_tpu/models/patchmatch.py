@@ -130,10 +130,11 @@ def depth_map(state: PlaneState, cams: geo.CameraSet) -> jnp.ndarray:
 
 def refine_schedule(params: AlgorithmParams) -> list[tuple[float, float]]:
     """Static (delta_disp, delta_normal) schedule: disparity radius
-    max_disparity/2 shrinking /10 down to 0.01, normal radius 1.0
-    shrinking /4 (planeRefinement_cu, gipuma.cu:634-675)."""
+    max_disparity * refine_dz0_frac (reference: /2) shrinking /10 down
+    to 0.01, normal radius 1.0 shrinking /4 (planeRefinement_cu,
+    gipuma.cu:634-675)."""
     out = []
-    dz = params.max_disparity / 2.0
+    dz = params.max_disparity * params.refine_dz0_frac
     dn = params.refine_delta_n_init
     while dz >= params.refine_delta_z_min:
         out.append((dz, dn))
@@ -763,12 +764,15 @@ def patchmatch_one_ref(key: jax.Array, imgs: jnp.ndarray,
                        b: jnp.ndarray, cams: geo.CameraSet,
                        params: AlgorithmParams,
                        iterations: int,
-                       svol_planes: tuple[int, ...] | None = None
+                       svol_planes: tuple[int, ...] | None = None,
+                       init_state: PlaneState | None = None
                        ) -> PlaneState:
     """PatchMatch for one reference view with *traced* view indices and
     warp factors (the shardable unit). svol_planes: static per-source-slot
     plane counts enabling the s-volume sampler (traced A/b are fine —
-    only the counts must be static; use the max over the batch)."""
+    only the counts must be static; use the max over the batch).
+    init_state: lifted prior planes (pyramid level); their costs are
+    re-evaluated with this configuration's cost function."""
     ref_img = imgs[ref_id]
     src_imgs = imgs[src_ids]                 # (S, H, W) dynamic gather
     stats = ncc.precompute_ref_stats(ref_img, cams, params)
@@ -797,8 +801,11 @@ def patchmatch_one_ref(key: jax.Array, imgs: jnp.ndarray,
                                                eval_view_cost)
             blocked = False
         init_key, key = jax.random.split(key)
-        init_state = random_init_with(init_key, (H, W), cams, stats.rays,
-                                      cost_fn, params)
+        if init_state is None:
+            init_state = random_init_with(init_key, (H, W), cams,
+                                          stats.rays, cost_fn, params)
+        else:
+            init_state = _reeval_state(init_state, cost_fn)
         step = make_patchmatch_step(cost_fn, stats.rays, cams, params,
                                     pctx=pctx, blocked_refine=blocked)
         state, _ = jax.lax.fori_loop(0, iterations, step,
@@ -824,8 +831,11 @@ def patchmatch_one_ref(key: jax.Array, imgs: jnp.ndarray,
     cost_fn, pctx = _make_cost_and_ctx(stats, cams, H, W, eval_view_cost)
 
     init_key, key = jax.random.split(key)
-    init_state = random_init_with(init_key, (H, W), cams, stats.rays,
-                                  cost_fn, params)
+    if init_state is None:
+        init_state = random_init_with(init_key, (H, W), cams, stats.rays,
+                                      cost_fn, params)
+    else:
+        init_state = _reeval_state(init_state, cost_fn)
 
     step = make_patchmatch_step(cost_fn, stats.rays, cams, params,
                                 pctx=pctx)
@@ -837,21 +847,27 @@ def run_patchmatch_many(key: jax.Array, imgs: jnp.ndarray,
                         batch: SceneBatch, cams: geo.CameraSet,
                         params: AlgorithmParams,
                         iterations: int,
-                        svol_planes: tuple[int, ...] | None = None
+                        svol_planes: tuple[int, ...] | None = None,
+                        init_states: PlaneState | None = None
                         ) -> PlaneState:
     """Sequentially map PatchMatch over a batch of reference views
     (stacked PlaneState out, leading axis R). Each device in a
-    view-sharded mesh runs this over its local shard."""
+    view-sharded mesh runs this over its local shard. init_states:
+    stacked lifted priors (leading axis R), e.g. from a coarser pyramid
+    level."""
     R = batch.ref_ids.shape[0]
 
     def one(r):
         # Fold by the *global* reference id so sharded shards of the same
         # batch never collide on the PRNG stream.
+        init_r = (None if init_states is None
+                  else jax.tree.map(lambda a: a[r], init_states))
         return patchmatch_one_ref(
             jax.random.fold_in(key, batch.ref_ids[r]), imgs,
             batch.ref_ids[r],
             batch.src_ids[r], batch.src_valid[r], batch.A[r], batch.b[r],
-            cams, params, iterations, svol_planes=svol_planes)
+            cams, params, iterations, svol_planes=svol_planes,
+            init_state=init_r)
 
     return jax.lax.map(one, jnp.arange(R))
 

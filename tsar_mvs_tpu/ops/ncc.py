@@ -455,6 +455,61 @@ def rl_cost_fused(ref_img: jnp.ndarray, src_imgs: jnp.ndarray,
     return jnp.where(bv >= 0, cost, 0.0)
 
 
+def rl_cost_fused_traced(ref_img: jnp.ndarray, src_imgs: jnp.ndarray,
+                         best_view: jnp.ndarray, src_ids: jnp.ndarray,
+                         src_valid: jnp.ndarray, A: jnp.ndarray,
+                         b: jnp.ndarray, cams: CameraSet,
+                         normal: jnp.ndarray, d: jnp.ndarray,
+                         params: AlgorithmParams) -> jnp.ndarray:
+    """`rl_cost_fused` with *traced* per-slot source images and warp
+    factors — the shardable unit for the view-sharded confidence stage
+    (one compiled program for every reference view of a scene/mesh).
+
+    src_imgs: (S, H, W) source images in slot order; src_ids: (S,)
+    global image ids matching `best_view`'s id space; src_valid: (S,)
+    slot mask; A: (S, 3, 3), b: (S, 3) warp factors per slot."""
+    H, W = ref_img.shape
+    S = src_imgs.shape[0]
+    bv = best_view
+
+    # Per-pixel slot one-hot (exactly one live term where any matches).
+    masks = [((bv == src_ids[s]) & src_valid[s]).astype(jnp.float32)
+             for s in range(S)]
+    any_live = sum(masks) > 0
+    A_px = [[jnp.zeros((), jnp.float32) for _ in range(3)]
+            for _ in range(3)]
+    b_px = [jnp.zeros((), jnp.float32) for _ in range(3)]
+    slot = jnp.zeros((H, W), jnp.float32)
+    for s in range(S):
+        m = masks[s]
+        slot = slot + float(s) * m
+        for r in range(3):
+            for c in range(3):
+                A_px[r][c] = A_px[r][c] + A[s, r, c] * m
+            b_px[r] = b_px[r] + b[s, r] * m
+
+    packed = [pack_image(src_imgs[s]) for s in range(S)]
+    stack = jnp.stack([p.data for p in packed]).reshape(-1, 4)
+    base = slot.astype(jnp.int32) * (H * W)
+
+    def sample_src(x, y):
+        x = jnp.clip(x, 0.0, W - 1.0)
+        y = jnp.clip(y, 0.0, H - 1.0)
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = x - x0
+        fy = y - y0
+        idx = base + y0.astype(jnp.int32) * W + x0.astype(jnp.int32)
+        v4 = jnp.take(stack, idx, axis=0)
+        top = v4[..., 0] + (v4[..., 1] - v4[..., 0]) * fx
+        bot = v4[..., 2] + (v4[..., 3] - v4[..., 2]) * fx
+        return top + (bot - top) * fy
+
+    cost = _rl_cost_from_factors(ref_img, sample_src, A_px, b_px, cams,
+                                 normal, d, params)
+    return jnp.where(any_live, cost, 0.0)
+
+
 def _rl_cost_single(ref_img: jnp.ndarray, src_img: jnp.ndarray,
                     cams: CameraSet, view: int, normal: jnp.ndarray,
                     d: jnp.ndarray,

@@ -99,9 +99,14 @@ def _weighted_median(key: jnp.ndarray, weight: jnp.ndarray,
         # value has this bit set.
         return jnp.where(below < half, mid, prefix)
 
+    # Carry seeded FROM u (u[0] & 0 == 0) rather than a fresh constant:
+    # under shard_map a constant init is device-invariant while the body
+    # output varies over the mesh axis, and the while_loop rejects the
+    # carry-type mismatch (scan-vma). Deriving the zeros from a varying
+    # operand keeps the sharded and unsharded paths on one code path.
     med_u = jax.lax.fori_loop(
         jnp.uint32(0), jnp.uint32(32), bit_step,
-        jnp.zeros(key.shape[1:], jnp.uint32))
+        u[0] & jnp.uint32(0))
     med = _ordered_uint_to_float(med_u)
     if payload is None:
         return med
@@ -122,7 +127,7 @@ def _weighted_median(key: jnp.ndarray, weight: jnp.ndarray,
         return jnp.where(below < half, mid, prefix)
 
     med_i = jax.lax.fori_loop(jnp.uint32(0), jnp.uint32(nbits), idx_step,
-                              jnp.zeros(key.shape[1:], jnp.uint32))
+                              u[0] & jnp.uint32(0))  # varying zeros (vma)
     med_i = jnp.minimum(med_i, jnp.uint32(O - 1)).astype(jnp.int32)
     med_p = jnp.take_along_axis(payload, med_i[None], axis=0)[0]
     return med, med_p

@@ -63,26 +63,111 @@ def pad_batch(batch: pm.SceneBatch, multiple: int) -> pm.SceneBatch:
 def patchmatch_sharded(mesh: Mesh, key: jax.Array, imgs: jnp.ndarray,
                        batch: pm.SceneBatch, cams: geo.CameraSet,
                        params: AlgorithmParams,
-                       iterations: int) -> pm.PlaneState:
+                       iterations: int,
+                       svol_planes: tuple[int, ...] | None = None,
+                       init_states: pm.PlaneState | None = None
+                       ) -> pm.PlaneState:
     """Run PatchMatch for every reference view, sharded over the mesh's
     view axis. Returns a stacked PlaneState with leading axis R
-    (including padding slots; slice [:R_orig])."""
+    (including padding slots; slice [:R_orig]). svol_planes overrides
+    the batch-derived static plane counts; init_states (leading axis =
+    padded R) seeds each ref with lifted prior planes."""
     n_dev = mesh.devices.size
     R_orig = batch.ref_ids.shape[0]
     batch = pad_batch(batch, n_dev)
-    svol_planes = pm.svolume_plane_counts_batch(
-        batch, imgs.shape[-2], imgs.shape[-1], params)
+    if svol_planes is None:
+        svol_planes = pm.svolume_plane_counts_batch(
+            batch, imgs.shape[-2], imgs.shape[-1], params)
+    if init_states is not None:
+        pad = batch.ref_ids.shape[0] - init_states.d.shape[0]
+        if pad:
+            init_states = jax.tree.map(
+                lambda a: jnp.concatenate(
+                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]),
+                init_states)
 
-    @functools.partial(
-        jax.shard_map, mesh=mesh,
-        in_specs=(P(), P(), jax.tree.map(lambda _: P("view"), batch)),
-        out_specs=P("view"))
-    def run(key, imgs, batch_local):
+    in_specs = [P(), P(), jax.tree.map(lambda _: P("view"), batch)]
+    args = [key, imgs, batch]
+    if init_states is not None:
+        in_specs.append(jax.tree.map(lambda _: P("view"), init_states))
+        args.append(init_states)
+
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=tuple(in_specs), out_specs=P("view"))
+    def run(key, imgs, batch_local, *rest):
+        init = rest[0] if rest else None
         return pm.run_patchmatch_many(key, imgs, batch_local, cams, params,
-                                      iterations, svol_planes=svol_planes)
+                                      iterations, svol_planes=svol_planes,
+                                      init_states=init)
 
-    state = run(key, imgs, batch)
+    state = run(*args)
     return jax.tree.map(lambda a: a[:R_orig], state)
+
+
+def scale_batch(batch: pm.SceneBatch, s: float) -> pm.SceneBatch:
+    """Warp factors at pyramid scale s (K_s = diag(1/s, 1/s, 1) K):
+    A_s = D A D^-1, b_s = D b."""
+    D = jnp.asarray([1.0 / s, 1.0 / s, 1.0], jnp.float32)
+    return batch._replace(A=batch.A * D[:, None] * (1.0 / D)[None, :],
+                          b=batch.b * D)
+
+
+def patchmatch_sharded_pyramid(mesh: Mesh, key: jax.Array,
+                               imgs: jnp.ndarray, batch: pm.SceneBatch,
+                               cams: geo.CameraSet,
+                               params: AlgorithmParams, iterations: int,
+                               levels: tuple[int, ...] = (4, 2, 1),
+                               P_list=None, depth_min: float | None = None,
+                               depth_max: float | None = None
+                               ) -> pm.PlaneState:
+    """Coarse-to-fine sharded PatchMatch (the APD-prior role of
+    run_patchmatch_pyramid on the view mesh): per level the warp factors
+    scale in-graph (scale_batch), images downsample device-side, and
+    the lifted state re-enters the next level as init_states.
+
+    P_list: raw world-frame projection matrices (per-level camera
+    scalars rebuild through build_camera_set at each scale, exactly as
+    the sequential pyramid does)."""
+    import dataclasses
+    assert levels[-1] == 1
+    assert P_list is not None, "P_list required for per-level cameras"
+    dmin = float(cams.depth_min) if depth_min is None else depth_min
+    dmax = float(cams.depth_max) if depth_max is None else depth_max
+
+    pyr = {1: imgs}
+    fac, cur = 1, imgs
+    while fac < max(levels):
+        cur = pm.downsample_2x(cur)
+        fac *= 2
+        pyr[fac] = cur
+
+    import numpy as np_
+    state = None
+    for li, s in enumerate(levels):
+        imgs_s = pyr[s]
+        Hs, Ws = imgs_s.shape[1:]
+        cams_s = geo.build_camera_set(
+            list(P_list), cam_scale=float(s) * params.cam_scale,
+            depth_min=dmin, depth_max=dmax)
+        params_s = dataclasses.replace(params).with_depth_range(
+            dmin, dmax, float(cams_s.f))
+        batch_s = scale_batch(batch, float(s)) if s != 1 else batch
+        # Static shared plane counts at this level (host-side numpy).
+        batch_np = pm.SceneBatch(
+            ref_ids=np_.asarray(batch_s.ref_ids),
+            src_ids=np_.asarray(batch_s.src_ids),
+            src_valid=np_.asarray(batch_s.src_valid),
+            A=np_.asarray(batch_s.A), b=np_.asarray(batch_s.b))
+        svol = pm.svolume_plane_counts_batch(batch_np, Hs, Ws, params_s)
+        if state is not None:
+            up = jax.jit(jax.vmap(
+                lambda st: pm.upsample_state_2x(st, cams_s, Hs, Ws)))
+            state = up(state)
+        state = patchmatch_sharded(mesh, jax.random.fold_in(key, li),
+                                   imgs_s, batch_s, cams_s, params_s,
+                                   iterations, svol_planes=svol,
+                                   init_states=state)
+    return state
 
 
 def fuse_sharded(mesh: Mesh, depths: jnp.ndarray, normals: jnp.ndarray,

@@ -473,15 +473,32 @@ def write_view_ply(path: Path, result: tsar.TsarResult, gray: np.ndarray,
 def process_scene(scene_root: str | Path,
                   params: AlgorithmParams | None = None,
                   seed: int = 0, pm_iterations: int | None = None,
-                  write_ply: bool = True, resume: bool = False
+                  write_ply: bool = True, resume: bool = False,
+                  sharded: str | bool = "auto"
                   ) -> list[tsar.TsarResult | None]:
     """Run every reference view of a scene (the scripts/*.sh loop).
 
     ``resume=True`` gives the reference's file-granular checkpointing
     (SURVEY.md §5: each view's artifacts are independent, so a crashed
     scene restarts at the first view without a TSAR_disp.dmb; completed
-    views return None instead of being recomputed)."""
+    views return None instead of being recomputed).
+
+    ``sharded``: "auto" uses the view-sharded mesh driver
+    (parallel.scene_sharded) when more than one device is visible —
+    the reference's shell loop over views mapped onto the chips; True
+    forces it, False forces the sequential per-view loop. The sharded
+    path writes TSAR_disp/TSAR_normals artifacts but returns None
+    entries (no per-view TsarResult materialization) and does not
+    support resume (it runs all views in one program)."""
     scene = load_scene(scene_root)
+    use_sharded = (sharded is True
+                   or (sharded == "auto" and len(jax.devices()) > 1
+                       and not resume))
+    if use_sharded:
+        from tsar_mvs_tpu.parallel import scene_sharded as ss
+        ss.process_scene_sharded(scene, params, seed=seed,
+                                 pm_iterations=pm_iterations, fuse=False)
+        return [None] * len(scene.names)
     results = []
     for ref_idx in range(len(scene.names)):
         name = scene.names[ref_idx]
