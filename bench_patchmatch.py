@@ -70,6 +70,11 @@ def main() -> int:
         extra["refine_block_frac"] = float(os.environ["TSAR_AB_RBF"])
     if os.environ.get("TSAR_AB_DZ0"):
         extra["refine_dz0_frac"] = float(os.environ["TSAR_AB_DZ0"])
+    if os.environ.get("TSAR_AB_DZ0F"):
+        extra["refine_dz0_frac_fine"] = float(os.environ["TSAR_AB_DZ0F"])
+    if os.environ.get("TSAR_AB_STEPPX_BUDGET"):
+        extra["svolume_budget_mb"] = int(
+            os.environ["TSAR_AB_STEPPX_BUDGET"])
     for impl in impls:
         params = AlgorithmParams(
             iterations=iters, ncc_impl=impl, **extra).with_depth_range(

@@ -79,3 +79,38 @@ def test_color_patchmatch_converges():
     interior[6:-6, 6:-6] = ok[6:-6, 6:-6]
     rel = np.abs(depth - gt) / np.where(ok, gt, 1.0)
     assert np.median(rel[interior]) < 0.03
+
+
+def test_color_viewscan_matches_unrolled():
+    """multiview_cost_color_viewscan (lax.scan over views) must match
+    the unrolled per-view aggregation."""
+    H, W = 48, 64
+    scene = make_scene(height=H, width=W, num_views=3, seed=2)
+    cams = geo.build_camera_set(list(scene.P), depth_min=scene.depth_min,
+                                depth_max=scene.depth_max)
+    params = AlgorithmParams().with_depth_range(
+        scene.depth_min, scene.depth_max, float(cams.f))
+    rgb = np.repeat(scene.images[:, None], 3, axis=1).astype(np.float32)
+    rgb[:, 1] *= 0.8
+    rgb[:, 2] *= 0.6
+    rgb = jnp.asarray(rgb)
+    view_ids = (1, 2)
+    stats = nc.precompute_ref_stats_color(rgb[0], cams, params)
+    packed = {v: nc.pack_image_color(rgb[v]) for v in view_ids}
+    key = jax.random.PRNGKey(3)
+    n = geo.normalize(jax.random.normal(key, (H, W, 3)))
+    n = geo.hemisphere_flip(n, geo.view_vectors(cams, H, W))
+    depth = jnp.full((H, W), 0.5 * (scene.depth_min + scene.depth_max))
+    d = geo.plane_d_from_depth(n, geo.pixel_rays(cams, H, W), depth)
+    mv_u = nc.multiview_cost_color(packed, view_ids, cams, n, d, stats,
+                                   params)
+    ids = jnp.asarray(view_ids, jnp.int32)
+    stack = jnp.stack([jnp.stack([p.data for p in packed[v]])
+                       for v in view_ids])
+    mv_s = nc.multiview_cost_color_viewscan(
+        stack, H, W, cams.A[ids], cams.b[ids], ids,
+        jnp.ones((2,), bool), n, d, stats, params)
+    np.testing.assert_allclose(np.asarray(mv_s.cost),
+                               np.asarray(mv_u.cost), atol=1e-5)
+    assert (np.asarray(mv_s.best_view)
+            == np.asarray(mv_u.best_view)).mean() > 0.99

@@ -62,6 +62,14 @@ class AlgorithmParams:
     # (it walks ~70% of the volume per tile); coarse-to-fine levels can
     # shrink it since the prior already bounds the error.
     refine_dz0_frac: float = 0.5
+    # refine_dz0_frac applied by the PYRAMID to levels after the
+    # coarsest (run_patchmatch_pyramid): those levels start from a
+    # lifted prior, so the reference's full +/-max_disparity/2
+    # exploration only re-randomizes what the coarser level already
+    # solved while walking ~70% of the s-volume per tile. Measured at
+    # 672x1024x8it/3src: 0.05 is 1.2x faster at equal acc<2%
+    # (PERF.md round-5 A/B). The coarsest level keeps refine_dz0_frac.
+    refine_dz0_frac_fine: float = 0.05
     # Image rescale factor applied to K (reference: cam_scale).
     cam_scale: float = 1.0
     # View-selection angles for the legacy angle-based path
@@ -132,8 +140,12 @@ class AlgorithmParams:
     # s-volume quality/memory knobs (ops/svolume.py): target epipolar
     # motion between adjacent planes (px), fractional s-range margin for
     # slanted windows, and a total volume memory budget that coarsens
-    # step_px when exceeded.
-    svolume_step_px: float = 1.0
+    # step_px when exceeded. Default 2.0: the NCC window (11x11 stride
+    # 2) does not resolve 1-px epipolar fidelity — measured acc<2% is
+    # EQUAL at step 1.0 vs 2.0 while the volume build (one gather per
+    # voxel) and every bracket walk halve (PERF.md round-5 A/B; the 2K
+    # budget coarsening already ran ~7-px spacing at equal accuracy).
+    svolume_step_px: float = 2.0
     svolume_margin: float = 0.125
     svolume_budget_mb: int = 4096
     # Tile-blocked refinement (Pallas kernel path only): coarse random

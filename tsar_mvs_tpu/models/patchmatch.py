@@ -106,6 +106,31 @@ def svolume_plane_counts_shared(cams_list: Sequence[geo.CameraSet],
     return tuple(int(c) for c in out)
 
 
+def svolume_warp_plans(cams: geo.CameraSet, view_ids, height: int,
+                       width: int, params: AlgorithmParams,
+                       svol_planes: tuple[int, ...]):
+    """Host-side Pallas warp-build eligibility plans per source view
+    (ops/pallas_warp.warp_view_plan; needs a concrete CameraSet).
+    Returns None off-TPU (the kernel path needs real hardware unless
+    TSAR_PALLAS_INTERPRET=1)."""
+    import os
+    if (jax.default_backend() == "cpu"
+            and os.environ.get("TSAR_PALLAS_INTERPRET") != "1"):
+        return None
+    import numpy as np
+    from tsar_mvs_tpu.ops import pallas_warp as pw
+    s_lo, s_hi = sv.s_range_for_depths(params.depth_min, params.depth_max,
+                                       params.svolume_margin)
+    plans = []
+    for slot, v in enumerate(view_ids):
+        S = int(svol_planes[slot])
+        ds = (s_hi - s_lo) / (S - 1)
+        plans.append(pw.warp_view_plan(np.asarray(cams.A)[v],
+                                       np.asarray(cams.b)[v], height,
+                                       width, s_lo, ds, S))
+    return tuple(plans)
+
+
 class PlaneState(NamedTuple):
     """Per-pixel plane hypotheses (the SoA core of LineState,
     linestate.h:10-221)."""
@@ -557,9 +582,13 @@ def run_patchmatch(key: jax.Array, imgs: jnp.ndarray,
         svol_planes = None
     elif svol_planes is None:
         svol_planes = svolume_plane_counts(cams, view_ids, H, W, params)
+    warp_plans = (svolume_warp_plans(cams, view_ids, H, W, params,
+                                     svol_planes)
+                  if svol_planes is not None else None)
     return _run_patchmatch_jit(key, imgs, tuple(view_ids), cams, params,
                                iterations, init_state, svol_planes,
-                               impl == "pallas", reeval_init_cost)
+                               impl == "pallas", reeval_init_cost,
+                               warp_plans)
 
 
 def _reeval_state(state: PlaneState, cost_fn) -> PlaneState:
@@ -573,7 +602,7 @@ def _reeval_state(state: PlaneState, cost_fn) -> PlaneState:
 @functools.partial(jax.jit,
                    static_argnames=("view_ids", "params", "iterations",
                                     "svol_planes", "use_pallas",
-                                    "reeval_init_cost"))
+                                    "reeval_init_cost", "warp_plans"))
 def _run_patchmatch_jit(key: jax.Array, imgs: jnp.ndarray,
                         view_ids: tuple[int, ...], cams: geo.CameraSet,
                         params: AlgorithmParams,
@@ -581,7 +610,8 @@ def _run_patchmatch_jit(key: jax.Array, imgs: jnp.ndarray,
                         init_state: PlaneState | None = None,
                         svol_planes: tuple[int, ...] | None = None,
                         use_pallas: bool = False,
-                        reeval_init_cost: bool = False) -> PlaneState:
+                        reeval_init_cost: bool = False,
+                        warp_plans=None) -> PlaneState:
     stats = ncc.precompute_ref_stats(imgs[0], cams, params)
     init_key, key = jax.random.split(key)
     H, W = imgs.shape[1:]
@@ -592,7 +622,8 @@ def _run_patchmatch_jit(key: jax.Array, imgs: jnp.ndarray,
                                            params.depth_max,
                                            params.svolume_margin)
         vol = sv.build_svolume(imgs[idx], cams.A[idx], cams.b[idx],
-                               s_lo, s_hi, svol_planes)
+                               s_lo, s_hi, svol_planes,
+                               warp_plans=warp_plans)
         cost_fn, pctx = _make_pallas_cost_and_ctx(
             stats, cams, H, W, vol.data, svol_planes, s_lo, s_hi, idx,
             [True] * len(view_ids), params)
@@ -618,7 +649,8 @@ def _run_patchmatch_jit(key: jax.Array, imgs: jnp.ndarray,
                                            params.depth_max,
                                            params.svolume_margin)
         vol = sv.build_svolume(imgs[idx], cams.A[idx], cams.b[idx],
-                               s_lo, s_hi, svol_planes)
+                               s_lo, s_hi, svol_planes,
+                               warp_plans=warp_plans)
         valid = jnp.ones((len(view_ids),), bool)
 
         def eval_view_cost(normal, d, st, coords, parity=None):
@@ -682,9 +714,28 @@ def _run_patchmatch_color_jit(key: jax.Array, imgs_color: jnp.ndarray,
     stats = nc.precompute_ref_stats_color(imgs_color[0], cams, params)
     packed = {v: nc.pack_image_color(imgs_color[v]) for v in view_ids}
 
-    def eval_view_cost(normal, d, st, coords, parity=None):
-        return nc.multiview_cost_color(packed, view_ids, cams, normal, d,
-                                       st, params, coords=coords)
+    if H * W >= VIEWSCAN_MIN_PIXELS and params.n_best == 1:
+        # Large images: scan the view axis so one view's 3-channel
+        # working set is live at a time — with views unrolled all views'
+        # packed channels coexist in HBM, the exact shape that faults
+        # the TPU worker at 2K x 7 sources in grayscale (color triples
+        # the pressure; advisor r4 medium).
+        stack = jnp.stack([jnp.stack([p.data for p in packed[v]])
+                           for v in view_ids])
+        idx = jnp.asarray(list(view_ids), jnp.int32)
+        A_stack = cams.A[idx]
+        b_stack = cams.b[idx]
+        valid = jnp.ones((len(view_ids),), bool)
+
+        def eval_view_cost(normal, d, st, coords, parity=None):
+            return nc.multiview_cost_color_viewscan(
+                stack, H, W, A_stack, b_stack, idx, valid, normal, d,
+                st, params, coords=coords)
+    else:
+        def eval_view_cost(normal, d, st, coords, parity=None):
+            return nc.multiview_cost_color(packed, view_ids, cams,
+                                           normal, d, st, params,
+                                           coords=coords)
 
     cost_fn, pctx = _make_cost_and_ctx(stats, cams, H, W, eval_view_cost,
                                        compress=nc.compress_stats_color)
@@ -1020,19 +1071,29 @@ def run_patchmatch_pyramid(key: jax.Array, imgs: jnp.ndarray,
         cams_s = geo.build_camera_set(P_list,
                                       cam_scale=float(s) * params.cam_scale,
                                       depth_min=dmin, depth_max=dmax)
-        params_s = dataclasses.replace(params).with_depth_range(
-            dmin, dmax, float(cams_s.f))
+        params_s = dataclasses.replace(
+            params,
+            # Levels with a lifted prior narrow the first random-search
+            # scale (config.refine_dz0_frac_fine): the coarse level
+            # already did the reference's full exploration.
+            refine_dz0_frac=(params.refine_dz0_frac if li == 0
+                             else min(params.refine_dz0_frac,
+                                      params.refine_dz0_frac_fine))
+        ).with_depth_range(dmin, dmax, float(cams_s.f))
         imgs_s = pyr[s]
         if state is not None:
             Hs, Ws = imgs_s.shape[1:]
             state = upsample_state_2x(state, cams_s, Hs, Ws)
         planes_li = (svol_planes_per_level[li]
                      if svol_planes_per_level is not None else None)
+        import os
+        reeval = (state is not None
+                  and os.environ.get("TSAR_NO_REEVAL") != "1")
         state = run_patchmatch(jax.random.fold_in(key, li), imgs_s,
                                view_ids, cams_s, params_s,
                                iterations=iterations_per_level[li],
                                init_state=state,
                                imgs_color=pyr_c[s] if color else None,
                                svol_planes=planes_li,
-                               reeval_init_cost=state is not None)
+                               reeval_init_cost=reeval)
     return state

@@ -187,3 +187,48 @@ def multiview_cost_color(packed_by_view: dict, view_ids: Sequence[int],
                 for v in view_ids]
     ids = jnp.asarray(list(view_ids), jnp.int32)
     return _aggregate_streaming(per_view, ids, params)
+
+
+def multiview_cost_color_viewscan(packed_stack: jnp.ndarray, height: int,
+                                  width: int, A: jnp.ndarray,
+                                  b: jnp.ndarray, ids: jnp.ndarray,
+                                  valid: jnp.ndarray, normal: jnp.ndarray,
+                                  d: jnp.ndarray, stats: ColorRefStats,
+                                  params: AlgorithmParams,
+                                  coords=None) -> MultiviewCost:
+    """n_best=1 color multi-view cost with the VIEW loop as a lax.scan
+    (the ncc.multiview_cost_viewscan structure for 3 channels): with
+    views unrolled all views' 3-channel packed working sets coexist in
+    HBM, which is the exact shape that faults the TPU worker at the 2K
+    x 7-source point in grayscale — color triples the pressure.
+
+    packed_stack: (V, 3, H*W, 4) stacked per-channel PackedImage
+    payloads; A: (V, 3, 3); b: (V, 3); ids/valid: (V,)."""
+    from tsar_mvs_tpu.ops.ncc import MAXCOST
+    from tsar_mvs_tpu.ops.sampling import PackedImage
+    assert params.n_best == 1
+    best0 = d * 0.0 + MAXCOST
+    second0 = d * 0.0 + MAXCOST
+    bidx0 = (d * 0.0).astype(jnp.int32)
+    karr = jnp.arange(ids.shape[0], dtype=jnp.int32)
+
+    def body(carry, xs):
+        best, second, bidx = carry
+        data, A_v, b_v, ok, k = xs
+        chans = tuple(PackedImage(data=data[c], height=height,
+                                  width=width) for c in range(3))
+        c = pm_cost_ab_color(chans, A_v, b_v, normal, d, stats, params,
+                             coords=coords)
+        c = jnp.where(ok, c, MAXCOST)
+        is_new = c < best
+        second = jnp.where(is_new, best, jnp.minimum(second, c))
+        best = jnp.where(is_new, c, best)
+        bidx = jnp.where(is_new, k, bidx)
+        return (best, second, bidx), None
+
+    (best, second, bidx), _ = jax.lax.scan(
+        body, (best0, second0, bidx0), (packed_stack, A, b, valid, karr))
+    any_valid = best < MAXCOST
+    ratio = jnp.where(any_valid, best / second, 0.0)
+    best_view = jnp.where(any_valid, ids[bidx], -1)
+    return MultiviewCost(cost=best, best_view=best_view, ratio=ratio)

@@ -143,13 +143,21 @@ def plane_counts(A: np.ndarray, b: np.ndarray, H: int, W: int,
 
 def build_svolume(src_imgs, A: jnp.ndarray, b: jnp.ndarray,
                   s_lo: float, s_hi: float, num_planes: Sequence[int],
-                  dtype=jnp.bfloat16) -> SVolume:
-    """v0 builder: one packed bilinear gather per voxel.
+                  dtype=jnp.bfloat16, warp_plans=None) -> SVolume:
+    """Volume builder. Two samplers per view:
+
+    * gather (v0): one packed bilinear gather per voxel — exact but
+      gather-rate-bound (~0.15 G idx/s on TPU: ~9 s/view at 2K);
+    * Pallas warp kernel (ops/pallas_warp.py): gather-free hat-tap
+      reconstruction, used when `warp_plans[v]` is an eligible
+      host-computed WarpPlan (requires CONCRETE A/b at plan time; the
+      traced-warp sharded path passes None and keeps the gather build).
 
     src_imgs: (V, H, W) f32 source images (NOT including the reference);
     A: (V, 3, 3), b: (V, 3) warp factors of those views; num_planes: the
-    static per-view plane counts (plane_counts). The planes axis runs as
-    a lax.map so one plane's gathers are live at a time.
+    static per-view plane counts (plane_counts). The gather path runs
+    the planes axis as a lax.map so one plane's gathers are live at a
+    time.
     """
     V, H, W = src_imgs.shape
 
@@ -173,8 +181,17 @@ def build_svolume(src_imgs, A: jnp.ndarray, b: jnp.ndarray,
 
     data, inv_ds = [], []
     for v in range(V):
-        vol_v, ids_v = one_view(src_imgs[v], A[v], b[v],
-                                int(num_planes[v]))
+        S_v = int(num_planes[v])
+        plan = warp_plans[v] if warp_plans is not None else None
+        if plan is not None and plan.ok:
+            from tsar_mvs_tpu.ops import pallas_warp as pw
+            ds_v = (s_hi - s_lo) / (S_v - 1)
+            vol_v = pw.build_volume_view_pallas(
+                src_imgs[v], A[v], b[v], float(s_lo), float(ds_v), S_v,
+                plan, dtype=dtype)
+            ids_v = jnp.float32(1.0 / ds_v)
+        else:
+            vol_v, ids_v = one_view(src_imgs[v], A[v], b[v], S_v)
         data.append(vol_v)
         inv_ds.append(ids_v)
     return SVolume(data=tuple(data), s_lo=jnp.float32(s_lo),

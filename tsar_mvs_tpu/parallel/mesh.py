@@ -149,8 +149,12 @@ def patchmatch_sharded_pyramid(mesh: Mesh, key: jax.Array,
         cams_s = geo.build_camera_set(
             list(P_list), cam_scale=float(s) * params.cam_scale,
             depth_min=dmin, depth_max=dmax)
-        params_s = dataclasses.replace(params).with_depth_range(
-            dmin, dmax, float(cams_s.f))
+        params_s = dataclasses.replace(
+            params,
+            refine_dz0_frac=(params.refine_dz0_frac if li == 0
+                             else min(params.refine_dz0_frac,
+                                      params.refine_dz0_frac_fine))
+        ).with_depth_range(dmin, dmax, float(cams_s.f))
         batch_s = scale_batch(batch, float(s)) if s != 1 else batch
         # Static shared plane counts at this level (host-side numpy).
         batch_np = pm.SceneBatch(
