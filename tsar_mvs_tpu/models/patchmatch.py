@@ -855,8 +855,9 @@ def patchmatch_one_ref(key: jax.Array, imgs: jnp.ndarray,
         if init_state is None:
             init_state = random_init_with(init_key, (H, W), cams,
                                           stats.rays, cost_fn, params)
-        else:
-            init_state = _reeval_state(init_state, cost_fn)
+        # else: lifted states carry their coarse-level costs (stale
+        # costs anchor the prior; re-evaluating through the coarse
+        # volume displaces it — see run_patchmatch_pyramid docstring).
         step = make_patchmatch_step(cost_fn, stats.rays, cams, params,
                                     pctx=pctx, blocked_refine=blocked)
         state, _ = jax.lax.fori_loop(0, iterations, step,
@@ -885,8 +886,7 @@ def patchmatch_one_ref(key: jax.Array, imgs: jnp.ndarray,
     if init_state is None:
         init_state = random_init_with(init_key, (H, W), cams, stats.rays,
                                       cost_fn, params)
-    else:
-        init_state = _reeval_state(init_state, cost_fn)
+    # else: stale coarse costs ride along (see run_patchmatch_pyramid).
 
     step = make_patchmatch_step(cost_fn, stats.rays, cams, params,
                                 pctx=pctx)
@@ -1038,11 +1038,18 @@ def run_patchmatch_pyramid(key: jax.Array, imgs: jnp.ndarray,
     (scene-shared counts so every reference view reuses one compiled
     program per level; see svolume_plane_counts_shared).
 
-    The lifted state's costs are re-evaluated INSIDE each level's jitted
-    program with that level's own cost function (reeval_init_cost) — a
-    separate eager dense evaluation at full resolution cost ~25% of the
-    whole PatchMatch stage at the 2K operating point and stored
-    foreign-sampler costs the loop then compared against kernel costs.
+    Lifted states CARRY their coarse-level costs into the next level
+    (no re-evaluation). Round 5 measured both alternatives at the 2K
+    budget-coarsened point: the eager direct-sampler re-eval costs
+    ~25% of the whole PatchMatch stage (13.6 s of 45.9 s at
+    672x1024x3src), and an in-jit re-eval through the level's own
+    s-volume sampler DESTROYS the prior (acc<2% 0.987 -> 0.66 at 2K:
+    at ~10 px budget plane spacing the re-evaluated costs are blurry
+    enough that the loop displaces good lifted planes wholesale).
+    Stale coarse costs anchor the prior correctly — the coarser level
+    evaluated them at its own relatively finer volume — and cost
+    nothing: 50.2 s vs 57.0 s (reeval) vs 89.3 s (r4 eager) PatchMatch
+    at 2Kx8it/7src, acc2_pm 0.9868 == r4.
     """
     import dataclasses
     assert levels[-1] == 1
@@ -1086,14 +1093,11 @@ def run_patchmatch_pyramid(key: jax.Array, imgs: jnp.ndarray,
             state = upsample_state_2x(state, cams_s, Hs, Ws)
         planes_li = (svol_planes_per_level[li]
                      if svol_planes_per_level is not None else None)
-        import os
-        reeval = (state is not None
-                  and os.environ.get("TSAR_NO_REEVAL") != "1")
         state = run_patchmatch(jax.random.fold_in(key, li), imgs_s,
                                view_ids, cams_s, params_s,
                                iterations=iterations_per_level[li],
                                init_state=state,
                                imgs_color=pyr_c[s] if color else None,
                                svol_planes=planes_li,
-                               reeval_init_cost=reeval)
+                               reeval_init_cost=False)
     return state
