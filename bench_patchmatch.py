@@ -75,6 +75,19 @@ def main() -> int:
     if os.environ.get("TSAR_AB_STEPPX_BUDGET"):
         extra["svolume_budget_mb"] = int(
             os.environ["TSAR_AB_STEPPX_BUDGET"])
+    # TSAR_AB_COLOR=1: run the -color_processing path (3-channel NCC on
+    # the direct sampler; synthetic scenes are grayscale, so channels
+    # are scaled copies — exercises the full 3x memory/compute shape).
+    color = os.environ.get("TSAR_AB_COLOR") == "1"
+    imgs_color = None
+    if color:
+        extra["color_processing"] = True
+        rgb = np.repeat(np.asarray(scene.images)[:, None], 3,
+                        axis=1).astype(np.float32)
+        rgb[:, 1] *= 0.8
+        rgb[:, 2] *= 0.6
+        imgs_color = jnp.asarray(rgb)
+
     for impl in impls:
         params = AlgorithmParams(
             iterations=iters, ncc_impl=impl, **extra).with_depth_range(
@@ -84,7 +97,8 @@ def main() -> int:
             return force(pm.run_patchmatch_pyramid(
                 key, imgs, view_ids, list(scene.P), params, levels=levels,
                 iterations_per_level=tuple([iters] * len(levels)),
-                depth_min=scene.depth_min, depth_max=scene.depth_max))
+                depth_min=scene.depth_min, depth_max=scene.depth_max,
+                imgs_color=imgs_color))
 
         t0 = time.time()
         try:

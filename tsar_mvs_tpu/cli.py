@@ -38,9 +38,11 @@ def _alg_params(ns) -> "AlgorithmParams":
     if getattr(ns, "color_processing", False):
         kw["color_processing"] = True
     if getattr(ns, "border_check", False):
-        # Region border-consistency veto (main.cpp:1735-1780, behind
-        # `if (false)` in the reference; opt-in product flag here).
+        # Region border-consistency veto (main.cpp:1735-1780; default
+        # ON as a documented quality divergence — config.border_check).
         kw["border_check"] = True
+    if getattr(ns, "no_border_check", False):
+        kw["border_check"] = False  # reference-exact (`if (false)`)
     return AlgorithmParams(**kw)
 
 
@@ -111,7 +113,10 @@ def cmd_gipuma(argv: list[str]) -> int:
     p.add_argument("-color_processing", action="store_true")
     p.add_argument("--border_check", action="store_true",
                    help="veto region fills with implausible border "
-                        "depth jumps (main.cpp:1735-1780)")
+                        "depth jumps (default ON; main.cpp:1735-1780)")
+    p.add_argument("--no_border_check", action="store_true",
+                   help="reference-exact behavior (the veto sits "
+                        "behind `if (false)` there)")
     p.add_argument("--border_check_thr", type=float, default=None)
     # Reference scripts pass unset shell vars as empty values
     # (`--min_angle=`, scripts/courtyard.sh:44); sscanf ignores them —
@@ -227,7 +232,9 @@ def cmd_scene(argv: list[str]) -> int:
                    help="run fusion after all views")
     p.add_argument("--border_check", action="store_true",
                    help="veto region fills with implausible border "
-                        "depth jumps (main.cpp:1735-1780)")
+                        "depth jumps (default ON; main.cpp:1735-1780)")
+    p.add_argument("--no_border_check", action="store_true",
+                   help="reference-exact behavior (veto off)")
     p.add_argument("--border_check_thr", type=float, default=None)
     p.add_argument("-color_processing", dest="color_processing",
                    action="store_true",

@@ -121,9 +121,13 @@ class AlgorithmParams:
     # filled region's mean |depth jump| across its border (fed by
     # fakecuda's fake-depth map, gipuma.cu:1852-1877) and drop region
     # planes whose jump exceeds border_check_thr * depth_min. The
-    # reference computes fakedepth but keeps the veto behind `if (false)`
-    # — default False matches that; the threshold is ours (opt-in).
-    border_check: bool = False
+    # reference computes fakedepth but keeps the veto behind
+    # `if (false)`; default True is a DOCUMENTED quality divergence:
+    # the round-5 all-views-on 2K proxy run shows good views keep
+    # completeness 1.0 while bad region planes veto out, lifting fused
+    # F1@2cm 0.906 -> 0.963 from one default config (RESULTS.md).
+    # `--no_border_check` on the CLI restores reference-exact behavior.
+    border_check: bool = True
     border_check_thr: float = 0.1
     # Color (float4-equivalent) matching (-color_processing,
     # main.cpp:766,909): 3-channel bilateral NCC on the direct sampler

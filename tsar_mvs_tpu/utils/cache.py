@@ -33,6 +33,16 @@ def cache_dir() -> str:
     except OSError:
         import platform
         flags = platform.processor() + platform.machine()
+    # cpuinfo flags alone are NOT sufficient: XLA:CPU AOT results also
+    # bake in compiler-version-dependent target features (observed:
+    # `+prefer-no-scatter` entries from another fleet machine whose
+    # cpuinfo flag string hashed identically — loading them warns
+    # SIGILL). Fold the jaxlib version into the fingerprint.
+    try:
+        import jaxlib
+        flags += jaxlib.__version__
+    except Exception:  # noqa: BLE001 — fingerprint best-effort
+        pass
     tag = hashlib.sha1(flags.encode()).hexdigest()[:10]
     # Concurrent xdist workers also get private caches: a reader hitting
     # another process's in-flight write segfaults in the executable
