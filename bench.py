@@ -144,7 +144,8 @@ def main() -> int:
         levels = (4, 2, 1) if H >= 1024 else (2, 1)
         state = force(pm.run_patchmatch_pyramid(
             key, imgs, view_ids, list(scene.P), params, levels=levels,
-            iterations_per_level=tuple([iters] * len(levels)),
+            iterations_per_level=pm.iteration_schedule(params,
+                                                       len(levels)),
             depth_min=scene.depth_min, depth_max=scene.depth_max))
         t0 = mark("patchmatch", t0)
         confid, lrdiff, disp = force(tsar.confidence_stage(

@@ -75,10 +75,20 @@ def main() -> int:
     if os.environ.get("TSAR_AB_STEPPX_BUDGET"):
         extra["svolume_budget_mb"] = int(
             os.environ["TSAR_AB_STEPPX_BUDGET"])
+    if os.environ.get("TSAR_AB_BANKSF"):
+        extra["prop_banks_fine"] = int(os.environ["TSAR_AB_BANKSF"])
     # TSAR_AB_COLOR=1: run the -color_processing path (3-channel NCC on
     # the direct sampler; synthetic scenes are grayscale, so channels
     # are scaled copies — exercises the full 3x memory/compute shape).
     color = os.environ.get("TSAR_AB_COLOR") == "1"
+    # TSAR_AB_SCHED=8,4 : per-pyramid-level iteration counts (coarse to
+    # fine); must match len(levels). Default: the product policy
+    # (config.iterations_fine on lifted levels).
+    sched = None
+    if os.environ.get("TSAR_AB_SCHED"):
+        sched = tuple(int(t) for t in
+                      os.environ["TSAR_AB_SCHED"].split(","))
+        assert len(sched) == len(levels), (sched, levels)
     imgs_color = None
     if color:
         extra["color_processing"] = True
@@ -96,7 +106,7 @@ def main() -> int:
         def run(key):
             return force(pm.run_patchmatch_pyramid(
                 key, imgs, view_ids, list(scene.P), params, levels=levels,
-                iterations_per_level=tuple([iters] * len(levels)),
+                iterations_per_level=sched,
                 depth_min=scene.depth_min, depth_max=scene.depth_max,
                 imgs_color=imgs_color))
 

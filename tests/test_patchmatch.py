@@ -154,3 +154,40 @@ def test_viewscan_branch_matches_default(scene, monkeypatch):
                                atol=1e-5)
     assert (np.asarray(state_scan.best_view)
             == np.asarray(state_unrolled.best_view)).mean() > 0.999
+
+
+def test_iteration_schedule_policy():
+    """config.iterations_fine drives lifted-level iteration counts:
+    coarsest level keeps the full count; fine levels run
+    min(iterations, iterations_fine); 0 disables (all levels equal)."""
+    p = AlgorithmParams(iterations=8, iterations_fine=3)
+    assert pm.iteration_schedule(p, 3) == (8, 3, 3)
+    p0 = AlgorithmParams(iterations=8, iterations_fine=0)
+    assert pm.iteration_schedule(p0, 2) == (8, 8)
+    # Small explicit iteration requests are never inflated.
+    p1 = AlgorithmParams(iterations=1, iterations_fine=3)
+    assert pm.iteration_schedule(p1, 3) == (1, 1, 1)
+
+
+def test_prop_banks_near_only_subset(scene):
+    """prop_banks=4 restricts propagation to the near banks (the END of
+    cb.BANKS) and still converges on the synthetic scene when seeded
+    with a coarse prior (the config.prop_banks_fine fast path)."""
+    cams = geo.build_camera_set(list(scene.P), depth_min=scene.depth_min,
+                                depth_max=scene.depth_max)
+    params = AlgorithmParams(
+        iterations=4, prop_banks_fine=4).with_depth_range(
+        scene.depth_min, scene.depth_max, float(cams.f))
+    imgs = jnp.asarray(scene.images, jnp.float32)
+    state = pm.run_patchmatch_pyramid(
+        jax.random.PRNGKey(0), imgs, (1, 2, 3, 4), list(scene.P), params,
+        levels=(2, 1), depth_min=scene.depth_min,
+        depth_max=scene.depth_max)
+    depth = np.asarray(pm.depth_map(state, cams))
+    gt = scene.depth[0]
+    ok = np.isfinite(gt) & ~scene.weak_mask[0]
+    interior = np.zeros_like(ok)
+    interior[8:-8, 8:-8] = ok[8:-8, 8:-8]
+    rel_err = np.abs(depth - gt) / gt
+    assert (rel_err[interior] < 0.02).mean() > 0.75, \
+        (rel_err[interior] < 0.02).mean()

@@ -31,7 +31,9 @@ def _alg_params(ns) -> "AlgorithmParams":
                         ("max_angle", "max_angle"),
                         ("max_disparity", "max_disparity"),
                         ("max_views", "max_views"),
-                        ("border_check_thr", "border_check_thr")):
+                        ("border_check_thr", "border_check_thr"),
+                        ("iterations_fine", "iterations_fine"),
+                        ("prop_banks_fine", "prop_banks_fine")):
         v = getattr(ns, flag, None)
         if v is not None:
             kw[field] = v
@@ -118,6 +120,13 @@ def cmd_gipuma(argv: list[str]) -> int:
                    help="reference-exact behavior (the veto sits "
                         "behind `if (false)` there)")
     p.add_argument("--border_check_thr", type=float, default=None)
+    p.add_argument("--iterations_fine", type=int, default=None,
+                   help="PatchMatch iterations on pyramid levels with a "
+                        "lifted prior (0 = full --iterations everywhere; "
+                        "default 3, config.iterations_fine)")
+    p.add_argument("--prop_banks_fine", type=int, default=None,
+                   help="propagation banks on lifted pyramid levels "
+                        "(4 = near-only, default; 8 = reference banks)")
     # Reference scripts pass unset shell vars as empty values
     # (`--min_angle=`, scripts/courtyard.sh:44); sscanf ignores them —
     # drop such tokens so a script line runs verbatim.
@@ -236,6 +245,12 @@ def cmd_scene(argv: list[str]) -> int:
     p.add_argument("--no_border_check", action="store_true",
                    help="reference-exact behavior (veto off)")
     p.add_argument("--border_check_thr", type=float, default=None)
+    p.add_argument("--iterations_fine", type=int, default=None,
+                   help="PatchMatch iterations on lifted pyramid levels "
+                        "(0 = full --iterations everywhere; default 3)")
+    p.add_argument("--prop_banks_fine", type=int, default=None,
+                   help="propagation banks on lifted pyramid levels "
+                        "(4 = near-only, default; 8 = reference banks)")
     p.add_argument("-color_processing", dest="color_processing",
                    action="store_true",
                    help="3-channel bilateral NCC (main.cpp:1151-1185)")

@@ -31,6 +31,16 @@ class AlgorithmParams:
     win_increment: int = 2
     # PatchMatch iterations (red/black × prop+refine per iteration).
     iterations: int = 8
+    # Iterations on pyramid levels WITH a lifted prior (the coarsest
+    # level always runs the full `iterations`; the reference has no
+    # pyramid — the coarse-to-fine schedule subsumes APD, SURVEY §2
+    # #28 — so this is a framework-own knob). A lifted prior leaves
+    # only local (<= 2 px) error for the finer level, so a few
+    # near-propagation + refine iterations converge it: measured at
+    # 672x1024x3src (PERF.md round-5 A/B), 8->3 fine iterations is
+    # 31.9 -> 17.4 s/view at EQUAL acc<2% (0.986), and even 2 holds.
+    # 0 = run the full `iterations` at every level.
+    iterations_fine: int = 3
     # Bilateral NCC parameters (reference: pmCost, gipuma.cu:248-250).
     sigma_spatial: float = 5.0
     sigma_color: float = 3.0
@@ -161,6 +171,21 @@ class AlgorithmParams:
     # per-tile s-bracket stays narrow and it skips the planes the tile
     # doesn't touch. 0 disables (pure per-pixel draws everywhere).
     refine_block_frac: float = 1.0 / 32.0
+    # Propagation banks used on pyramid levels WITH a lifted prior
+    # (reference: 8 banks — 4 near V-shapes + 4 far combs,
+    # gipuma.cu:874-1042; the coarsest level always keeps all 8).
+    # The far combs exist to escape local minima during from-random
+    # convergence; a lifted prior has already converged globally, so
+    # fine levels only need the near banks' local propagation. 4 =
+    # near-only (half the prop-pass bracket walks on the kernel path).
+    # Measured 672x1024x3src (PERF.md round-5 A/B): 17.4 -> 16.4 s/view
+    # at equal acc<2%. 8 restores reference-bank parity on all levels.
+    prop_banks_fine: int = 4
+    # EFFECTIVE bank count for a single run_patchmatch call (set by
+    # run_patchmatch_pyramid from prop_banks_fine on lifted levels;
+    # not a user knob). Banks are taken from the END of the table
+    # (near banks last).
+    prop_banks: int = 8
 
     @property
     def hrad(self) -> int:

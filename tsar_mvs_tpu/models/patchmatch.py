@@ -168,6 +168,17 @@ def refine_schedule(params: AlgorithmParams) -> list[tuple[float, float]]:
     return out
 
 
+def iteration_schedule(params: AlgorithmParams,
+                       n_levels: int) -> tuple[int, ...]:
+    """Per-pyramid-level iteration counts (coarse to fine): the coarsest
+    level runs the full `params.iterations`; lifted levels run
+    `params.iterations_fine` (0 = same as iterations). See
+    config.iterations_fine for the measured A/B."""
+    fine = (min(params.iterations, params.iterations_fine)
+            if params.iterations_fine else params.iterations)
+    return (params.iterations,) + (fine,) * (n_levels - 1)
+
+
 def random_init(key: jax.Array, imgs: jnp.ndarray,
                 view_ids: Sequence[int], cams: geo.CameraSet,
                 stats: ncc.RefStats,
@@ -258,6 +269,12 @@ def _propagation_pass(state: PlaneState, parity: int, cost_fn,
     (gipuma.cu:1096-1138)."""
     H, W = state.shape
     cands = cb.select_candidates(state.normal, state.d, state.cost)
+    if params.prop_banks < len(cb.BANKS):
+        # Lifted-prior levels: near banks only (config.prop_banks_fine;
+        # the near banks sit at the END of cb.BANKS).
+        cands = cb.Candidates(normal=cands.normal[-params.prop_banks:],
+                              d=cands.d[-params.prop_banks:],
+                              valid=cands.valid[-params.prop_banks:])
 
     if pctx is None:
         # Dense fallback (odd dimensions): evaluate everywhere, mask.
@@ -1054,7 +1071,7 @@ def run_patchmatch_pyramid(key: jax.Array, imgs: jnp.ndarray,
     import dataclasses
     assert levels[-1] == 1
     if iterations_per_level is None:
-        iterations_per_level = tuple([params.iterations] * len(levels))
+        iterations_per_level = iteration_schedule(params, len(levels))
     dmin = params.depth_min if depth_min is None else depth_min
     dmax = params.depth_max if depth_max is None else depth_max
     color = params.color_processing and imgs_color is not None
@@ -1085,7 +1102,12 @@ def run_patchmatch_pyramid(key: jax.Array, imgs: jnp.ndarray,
             # already did the reference's full exploration.
             refine_dz0_frac=(params.refine_dz0_frac if li == 0
                              else min(params.refine_dz0_frac,
-                                      params.refine_dz0_frac_fine))
+                                      params.refine_dz0_frac_fine)),
+            # Lifted levels can drop the far propagation combs
+            # (config.prop_banks_fine); the coarsest keeps all 8.
+            prop_banks=(params.prop_banks if li == 0
+                        else min(params.prop_banks,
+                                 params.prop_banks_fine)),
         ).with_depth_range(dmin, dmax, float(cams_s.f))
         imgs_s = pyr[s]
         if state is not None:

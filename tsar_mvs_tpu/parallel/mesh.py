@@ -153,8 +153,13 @@ def patchmatch_sharded_pyramid(mesh: Mesh, key: jax.Array,
             params,
             refine_dz0_frac=(params.refine_dz0_frac if li == 0
                              else min(params.refine_dz0_frac,
-                                      params.refine_dz0_frac_fine))
+                                      params.refine_dz0_frac_fine)),
+            prop_banks=(params.prop_banks if li == 0
+                        else min(params.prop_banks,
+                                 params.prop_banks_fine)),
         ).with_depth_range(dmin, dmax, float(cams_s.f))
+        iters_li = (iterations if li == 0 or not params.iterations_fine
+                    else min(iterations, params.iterations_fine))
         batch_s = scale_batch(batch, float(s)) if s != 1 else batch
         # Static shared plane counts at this level (host-side numpy).
         batch_np = pm.SceneBatch(
@@ -169,7 +174,7 @@ def patchmatch_sharded_pyramid(mesh: Mesh, key: jax.Array,
             state = up(state)
         state = patchmatch_sharded(mesh, jax.random.fold_in(key, li),
                                    imgs_s, batch_s, cams_s, params_s,
-                                   iterations, svol_planes=svol,
+                                   iters_li, svol_planes=svol,
                                    init_states=state)
     return state
 

@@ -23,6 +23,7 @@ first-class here).
 
 from __future__ import annotations
 
+import dataclasses
 import time
 from dataclasses import dataclass
 from pathlib import Path
@@ -370,7 +371,9 @@ def process_view(scene: Scene, ref_idx: int,
         state = pm.run_patchmatch_pyramid(
             key, imgs_j, view_ids, [scene.P[i] for i in order], params,
             levels=levels,
-            iterations_per_level=tuple([iters] * len(levels)),
+            iterations_per_level=pm.iteration_schedule(
+                dataclasses.replace(params, iterations=iters),
+                len(levels)),
             depth_min=scene.depth_min, depth_max=scene.depth_max,
             imgs_color=imgs_color,
             svol_planes_per_level=scene_plane_counts(
