@@ -83,9 +83,16 @@ def run_scene(ns, spec: str):
         scene_gt.export(root)
         print(f"# scene {spec} exported to {root}", file=sys.stderr)
 
+    bc = {}
+    if ns.border_check:
+        bc['border_check'] = True
+    if ns.no_border_check:
+        bc['border_check'] = False
+    # Default: the config default (border_check=True since round 5's
+    # default-on divergence) — the validate surface must match the
+    # product surface.
     params = AlgorithmParams(iterations=ns.iterations,
-                             max_views=ns.max_views,
-                             border_check=ns.border_check)
+                             max_views=ns.max_views, **bc)
     only = {int(v) for v in ns.only_views.split(",") if v != ""}
 
     view_times = []
@@ -168,8 +175,10 @@ def main() -> int:
     ap.add_argument("--max_views", type=int, default=7)
     ap.add_argument("--out", default=str(REPO / "RESULTS.md"))
     ap.add_argument("--border_check", action="store_true",
-                    help="enable the region border-consistency veto "
-                         "(config.border_check)")
+                    help="force-enable the region border-consistency "
+                         "veto (config.border_check default: ON)")
+    ap.add_argument("--no_border_check", action="store_true",
+                    help="force-disable the veto (reference-exact)")
     ap.add_argument("--only_views", default="",
                     help="comma list: process only these views "
                          "(others must already exist)")
@@ -208,7 +217,8 @@ def main() -> int:
         f"Operating point: **{reports[0]['point']}** "
         f"(reference scripts' full point: scripts/courtyard.sh:11-15 — "
         f"2K ETH3D, 8 iterations). Flags: "
-        f"border_check={'on' if ns.border_check else 'off'}.",
+        f"border_check="
+        f"{'off' if ns.no_border_check else 'on (default)'}.",
         "",
         "Scenes: `planar:<seed>` = textured planes with a planar "
         "textureless patch (the bench geometry; a jitter suffix "

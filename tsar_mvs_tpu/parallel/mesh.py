@@ -193,8 +193,13 @@ def fuse_sharded(mesh: Mesh, depths: jnp.ndarray, normals: jnp.ndarray,
     *emissions* exactly, but vote counts stay pre-dedup (the sequential
     path also denies consumed pixels the right to vote, so it prunes
     more at num_consistent thresholds) — parallel output is a superset
-    of `models.fusion.fuse`'s. Callers needing exact sequential
-    used_list semantics use `fuse`.
+    of `models.fusion.fuse`'s. The delta is NOT small at
+    num_consistent > 1: +85% emitted points on the 48x64x8-view proxy
+    at num_consistent=2 (tests/test_parallel.py::
+    test_fuse_sharded_num_consistent2_delta pins the semantics; at the
+    default num_consistent=1 the replay is near-exact, see
+    test_fuse_sharded_used_list_replay). Callers needing exact
+    sequential used_list semantics use `fuse`.
 
     depths/normals enter sharded on the leading (view) axis. Returns
     (point_sum, normal_sum, count, emit, consumed) stacked over all V
